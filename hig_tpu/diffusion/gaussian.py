@@ -1,0 +1,328 @@
+"""Gaussian diffusion engine as pure functions over precomputed tables.
+
+Functional re-design of the reference's OpenAI-guided-diffusion port
+(codes/models/gaussian_diffusion.py:312-1150). Coefficient tables are
+computed once in float64 on host (golden-tested against the reference's
+tables) and gathered per-timestep on device; both the ancestral (DDPM) and
+DDIM samplers are single fused ``lax.scan`` loops — no host sync per step.
+
+The denoiser is an opaque callable ``model(x_t, t) -> eps`` so the same
+engine drives training losses, labeling, and sampling for any model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MeanType(enum.Enum):
+    PREVIOUS_X = "previous_x"
+    START_X = "start_x"
+    EPSILON = "epsilon"
+
+
+class VarType(enum.Enum):
+    FIXED_SMALL = "fixed_small"
+    FIXED_LARGE = "fixed_large"
+
+
+def linear_betas(num_timesteps: int) -> np.ndarray:
+    """Ho et al. linear schedule, scaled for any step count.
+
+    (ref: gaussian_diffusion.py:238-246)
+    """
+    scale = 1000 / num_timesteps
+    return np.linspace(scale * 1e-4, scale * 0.02, num_timesteps, dtype=np.float64)
+
+
+def cosine_betas(num_timesteps: int, max_beta: float = 0.999) -> np.ndarray:
+    """Nichol & Dhariwal cosine schedule. (ref: gaussian_diffusion.py:247-273)"""
+    def alpha_bar(t):
+        return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+
+    betas = [
+        min(1 - alpha_bar((i + 1) / num_timesteps) / alpha_bar(i / num_timesteps), max_beta)
+        for i in range(num_timesteps)
+    ]
+    return np.array(betas, dtype=np.float64)
+
+
+def named_betas(name: str, num_timesteps: int) -> np.ndarray:
+    if name == "linear":
+        return linear_betas(num_timesteps)
+    if name == "cosine":
+        return cosine_betas(num_timesteps)
+    raise ValueError(f"unknown beta schedule: {name}")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    """Precomputed per-timestep coefficient tables (all shape (T,)).
+
+    Mirrors the float64 tables of reference __init__
+    (gaussian_diffusion.py:329-380); stored float32 for device gathers, with
+    float64 originals available via :func:`make_schedule` for golden tests.
+    """
+
+    betas: jax.Array
+    alphas_cumprod: jax.Array
+    alphas_cumprod_prev: jax.Array
+    sqrt_alphas_cumprod: jax.Array
+    sqrt_one_minus_alphas_cumprod: jax.Array
+    log_one_minus_alphas_cumprod: jax.Array
+    sqrt_recip_alphas_cumprod: jax.Array
+    sqrt_recipm1_alphas_cumprod: jax.Array
+    posterior_variance: jax.Array
+    posterior_log_variance_clipped: jax.Array
+    posterior_mean_coef1: jax.Array
+    posterior_mean_coef2: jax.Array
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.betas.shape[0]
+
+
+def schedule_tables_f64(betas: np.ndarray) -> dict[str, np.ndarray]:
+    """The reference's float64 coefficient tables, bit-for-bit."""
+    betas = np.asarray(betas, dtype=np.float64)
+    alphas = 1.0 - betas
+    alphas_cumprod = np.cumprod(alphas, axis=0)
+    alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
+    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+    return dict(
+        betas=betas,
+        alphas_cumprod=alphas_cumprod,
+        alphas_cumprod_prev=alphas_cumprod_prev,
+        sqrt_alphas_cumprod=np.sqrt(alphas_cumprod),
+        sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - alphas_cumprod),
+        log_one_minus_alphas_cumprod=np.log(1.0 - alphas_cumprod),
+        sqrt_recip_alphas_cumprod=np.sqrt(1.0 / alphas_cumprod),
+        sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / alphas_cumprod - 1),
+        posterior_variance=posterior_variance,
+        posterior_log_variance_clipped=np.log(
+            np.append(posterior_variance[1], posterior_variance[1:])
+        ),
+        posterior_mean_coef1=betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod),
+        posterior_mean_coef2=(1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod),
+    )
+
+
+def make_schedule(betas: np.ndarray, dtype=jnp.float32) -> DiffusionSchedule:
+    tables = schedule_tables_f64(betas)
+    return DiffusionSchedule(**{k: jnp.asarray(v, dtype=dtype) for k, v in tables.items()})
+
+
+def _extract(table: jax.Array, t: jax.Array, ndim: int) -> jax.Array:
+    """Gather per-timestep coefficients and broadcast to an ndim tensor.
+
+    (ref: gaussian_diffusion.py:1137-1150)
+    """
+    out = table[t]
+    return out.reshape(out.shape + (1,) * (ndim - out.ndim))
+
+
+def q_sample(
+    sched: DiffusionSchedule, x_start: jax.Array, t: jax.Array, noise: jax.Array
+) -> jax.Array:
+    """Sample q(x_t | x_0). (ref: gaussian_diffusion.py:399-417)"""
+    return (
+        _extract(sched.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
+        + _extract(sched.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * noise
+    )
+
+
+def q_posterior_mean_variance(
+    sched: DiffusionSchedule, x_start: jax.Array, x_t: jax.Array, t: jax.Array
+):
+    """Mean/variance of q(x_{t-1} | x_t, x_0). (ref: gaussian_diffusion.py:419-441)"""
+    mean = (
+        _extract(sched.posterior_mean_coef1, t, x_t.ndim) * x_start
+        + _extract(sched.posterior_mean_coef2, t, x_t.ndim) * x_t
+    )
+    var = _extract(sched.posterior_variance, t, x_t.ndim)
+    log_var = _extract(sched.posterior_log_variance_clipped, t, x_t.ndim)
+    return mean, var, log_var
+
+
+def predict_xstart_from_eps(
+    sched: DiffusionSchedule, x_t: jax.Array, t: jax.Array, eps: jax.Array
+) -> jax.Array:
+    """(ref: gaussian_diffusion.py:539-544)"""
+    return (
+        _extract(sched.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
+        - _extract(sched.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * eps
+    )
+
+
+def predict_eps_from_xstart(
+    sched: DiffusionSchedule, x_t: jax.Array, t: jax.Array, x0: jax.Array
+) -> jax.Array:
+    """(ref: gaussian_diffusion.py:556-560)"""
+    return (
+        _extract(sched.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - x0
+    ) / _extract(sched.sqrt_recipm1_alphas_cumprod, t, x_t.ndim)
+
+
+def p_mean_variance(
+    sched: DiffusionSchedule,
+    model_output: jax.Array,
+    x: jax.Array,
+    t: jax.Array,
+    mean_type: MeanType = MeanType.EPSILON,
+    var_type: VarType = VarType.FIXED_SMALL,
+    clip_denoised: bool = False,
+):
+    """Model output → p(x_{t-1} | x_t) mean/log-variance and x0 prediction.
+
+    (ref: gaussian_diffusion.py:443-537, FIXED_SMALL/FIXED_LARGE paths)
+    """
+    if var_type == VarType.FIXED_SMALL:
+        log_var = _extract(sched.posterior_log_variance_clipped, t, x.ndim)
+    else:
+        large = jnp.concatenate([sched.posterior_variance[1:2], sched.betas[1:]])
+        log_var = _extract(jnp.log(large), t, x.ndim)
+
+    if mean_type == MeanType.EPSILON:
+        pred_xstart = predict_xstart_from_eps(sched, x, t, model_output)
+    elif mean_type == MeanType.START_X:
+        pred_xstart = model_output
+    else:
+        raise NotImplementedError(mean_type)
+    if clip_denoised:
+        pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
+    mean, _, _ = q_posterior_mean_variance(sched, pred_xstart, x, t)
+    return mean, log_var, pred_xstart
+
+
+Denoiser = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def p_sample_loop(
+    sched: DiffusionSchedule,
+    model: Denoiser,
+    shape: tuple,
+    rng: jax.Array,
+    noise: jax.Array | None = None,
+    clip_denoised: bool = False,
+    mean_type: MeanType = MeanType.EPSILON,
+    var_type: VarType = VarType.FIXED_SMALL,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Ancestral (DDPM) sampler as one fused lax.scan over timesteps.
+
+    Replaces the reference's 1000-iteration Python loop with per-step host
+    sync (gaussian_diffusion.py:668-769). ``model(x, t_batch)`` must be
+    shape-preserving; all conditioning is closed over.
+    """
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape, dtype) if noise is None else noise
+    batch = shape[0]
+
+    def step(carry, t_scalar):
+        x, rng = carry
+        rng, noise_rng = jax.random.split(rng)
+        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+        eps = model(x, t)
+        mean, log_var, _ = p_mean_variance(
+            sched, eps, x, t, mean_type, var_type, clip_denoised
+        )
+        z = jax.random.normal(noise_rng, x.shape, x.dtype)
+        nonzero = (t_scalar != 0).astype(x.dtype)
+        x = mean + nonzero * jnp.exp(0.5 * log_var) * z
+        return (x, rng), None
+
+    timesteps = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    (x, _), _ = jax.lax.scan(step, (x, rng), timesteps)
+    return x
+
+
+def ddim_sample_loop(
+    sched: DiffusionSchedule,
+    model: Denoiser,
+    shape: tuple,
+    rng: jax.Array,
+    num_steps: int | None = None,
+    eta: float = 0.0,
+    noise: jax.Array | None = None,
+    clip_denoised: bool = False,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """DDIM sampler (ref: gaussian_diffusion.py:771-941) as a lax.scan.
+
+    The reference implements DDIM but never wires it up; here it is a
+    first-class fast path: ``num_steps`` strides the schedule (e.g. 50 steps
+    for a 20× sampling speedup at quality parity).
+    """
+    T = sched.num_timesteps
+    num_steps = num_steps or T
+    # Evenly spaced timesteps, descending, always ending at 0.
+    ts = np.linspace(0, T - 1, num_steps).round().astype(np.int64)[::-1]
+    ts_prev = np.append(ts[1:], -1)
+
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape, dtype) if noise is None else noise
+    batch = shape[0]
+
+    alphas_cumprod_ext = jnp.concatenate(
+        [sched.alphas_cumprod, jnp.ones((1,), sched.alphas_cumprod.dtype)]
+    )  # index -1 → alpha_bar = 1 (t_prev before 0)
+
+    def step(carry, t_pair):
+        x, rng = carry
+        t_scalar, t_prev_scalar = t_pair
+        rng, noise_rng = jax.random.split(rng)
+        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+        eps = model(x, t)
+        x0 = predict_xstart_from_eps(sched, x, t, eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        eps = predict_eps_from_xstart(sched, x, t, x0)
+        alpha_bar = _extract(sched.alphas_cumprod, t, x.ndim)
+        alpha_bar_prev = alphas_cumprod_ext[t_prev_scalar].reshape((1,) * x.ndim)
+        sigma = (
+            eta
+            * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))
+            * jnp.sqrt(1 - alpha_bar / alpha_bar_prev)
+        )
+        mean = (
+            x0 * jnp.sqrt(alpha_bar_prev)
+            + jnp.sqrt(1 - alpha_bar_prev - sigma**2) * eps
+        )
+        z = jax.random.normal(noise_rng, x.shape, x.dtype)
+        nonzero = (t_scalar != 0).astype(x.dtype)
+        x = mean + nonzero * sigma * z
+        return (x, rng), None
+
+    pairs = jnp.stack([jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy())], axis=-1)
+    (x, _), _ = jax.lax.scan(step, (x, rng), pairs)
+    return x
+
+
+def training_targets(
+    sched: DiffusionSchedule,
+    x_start: jax.Array,
+    t: jax.Array,
+    noise: jax.Array,
+    mean_type: MeanType = MeanType.EPSILON,
+):
+    """(x_t, target) for the MSE loss. (ref: gaussian_diffusion.py:978-1055)
+
+    The loss reduction itself lives in the trainer (masked / PIT-min), as in
+    the reference.
+    """
+    x_t = q_sample(sched, x_start, t, noise)
+    if mean_type == MeanType.EPSILON:
+        target = noise
+    elif mean_type == MeanType.START_X:
+        target = x_start
+    else:
+        target = q_posterior_mean_variance(sched, x_start, x_t, t)[0]
+    return x_t, target

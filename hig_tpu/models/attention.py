@@ -1,0 +1,254 @@
+"""Attention blocks for the interaction denoiser.
+
+TPU-first re-design of the reference blocks
+(codes/models/interaction_transformer.py:100-332). Two families:
+
+* *Efficient* (linear) attention — MotionDiffuse's O(T·d²) formulation:
+  softmax over the feature axis for Q, over the time axis for K, then two
+  einsums. This is the default production path; the einsums map straight
+  onto the MXU with no masking-softmax fusion needed.
+* *Quadratic* attention — standard QKᵀ softmax, kept for the reference's
+  ``--no_eff`` mode. The reference's quirks are reproduced deliberately:
+  self-attention adds the raw 0/1 mask to the logits
+  (interaction_transformer.py:292) while interaction attention adds
+  (1-mask)·-1e5 (:240).
+
+All blocks treat every leading axis before (T, D) as batch, so the
+(B, actors, T, D) layout flows through unchanged. Residual + time-gated
+StylizationBlock is applied inside each block, as in the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hig_tpu.models.embeddings import StylizationBlock
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    return x.reshape(x.shape[:-1] + (num_heads, x.shape[-1] // num_heads))
+
+
+def efficient_attention(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    num_heads: int,
+    key_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Shared core of the linear-attention family.
+
+    query (..., T, D), key/value (..., N, D); key_mask (..., N) 0/1.
+    softmax(Q over features) · [softmax(K over time)ᵀ V]
+    (ref: interaction_transformer.py:119-128)
+    """
+    D = query.shape[-1]
+    q = _split_heads(query, num_heads)
+    if key_mask is not None:
+        key = key + (1.0 - key_mask[..., None]) * -1000000.0
+        value = value * key_mask[..., None]
+    k = _split_heads(key, num_heads)
+    v = _split_heads(value, num_heads)
+    q = jax.nn.softmax(q, axis=-1)
+    k = jax.nn.softmax(k, axis=-3)  # over the time axis
+    attention = jnp.einsum("...nhd,...nhl->...hdl", k, v)
+    y = jnp.einsum("...nhd,...hdl->...nhl", q, attention)
+    return y.reshape(y.shape[:-2] + (D,))
+
+
+def quadratic_attention(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    num_heads: int,
+    logit_bias: jax.Array | None = None,
+) -> jax.Array:
+    """Standard softmax attention; ``logit_bias`` (..., T, N, 1) added raw.
+
+    (ref: interaction_transformer.py:283-296)
+    """
+    D = query.shape[-1]
+    q = _split_heads(query, num_heads)
+    k = _split_heads(key, num_heads)
+    v = _split_heads(value, num_heads)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D // num_heads, q.dtype))
+    logits = jnp.einsum("...nhd,...mhd->...nmh", q, k) * scale
+    if logit_bias is not None:
+        logits = logits + logit_bias
+    weights = jax.nn.softmax(logits, axis=-2)
+    y = jnp.einsum("...nmh,...mhd->...nhd", weights, v)
+    return y.reshape(y.shape[:-2] + (D,))
+
+
+class EfficientSelfAttention(nn.Module):
+    """(ref: LinearTemporalSelfAttention, interaction_transformer.py:100-130)"""
+
+    latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, src_mask, deterministic: bool = True):
+        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
+        k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xn)
+        v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xn)
+        y = efficient_attention(q, k, v, self.num_heads, key_mask=src_mask)
+        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
+            y, emb, deterministic
+        )
+
+
+class EfficientCrossAttention(nn.Module):
+    """Text cross-attention. (ref: LinearTemporalCrossAttention, :132-165)"""
+
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, xf, emb, deterministic: bool = True):
+        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        xfn = nn.LayerNorm(dtype=self.dtype, name="text_norm")(xf)
+        q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
+        k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xfn)
+        v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xfn)
+        y = efficient_attention(q, k, v, self.num_heads)
+        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
+            y, emb, deterministic
+        )
+
+
+class EfficientInteractionAttention(nn.Module):
+    """Cross-actor attention — the paper's novelty block.
+
+    Each actor queries the *other* actor's timeline with one shared weight
+    set. The reference realizes this by doubling the batch
+    (interaction_transformer.py:167-207); here the actor axis is explicit:
+    partner features are ``flip(x, actor_axis)`` and both directions compute
+    in one batched einsum. Note the reference normalizes x1 and x2 with the
+    *same* LayerNorm and omits a text_norm — reproduced.
+    """
+
+    latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, src_mask, deterministic: bool = True):
+        # x: (B, 2, T, D); emb: (B, 2, E); src_mask: (B, 1, T) or (B, 2, T).
+        partner = jnp.flip(x, axis=1)
+        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        xn = norm(x)
+        pn = norm(partner)
+        q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
+        k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(pn)
+        v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(pn)
+        mask = jnp.broadcast_to(src_mask, x.shape[:-1])
+        y = efficient_attention(q, k, v, self.num_heads, key_mask=jnp.flip(mask, axis=1))
+        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
+            y, emb, deterministic
+        )
+
+
+class QuadraticSelfAttention(nn.Module):
+    """(ref: TemporalSelfAttention, interaction_transformer.py:266-297).
+
+    Faithfully reproduces the reference's raw 0/1-mask logit add (:292).
+    """
+
+    latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, src_mask, deterministic: bool = True):
+        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
+        k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xn)
+        v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xn)
+        bias = src_mask[..., None, :, None]  # add mask over the key axis
+        y = quadratic_attention(q, k, v, self.num_heads, logit_bias=bias)
+        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
+            y, emb, deterministic
+        )
+
+
+class QuadraticCrossAttention(nn.Module):
+    """(ref: TemporalCrossAttention, interaction_transformer.py:299-332)"""
+
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, xf, emb, deterministic: bool = True):
+        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        xfn = nn.LayerNorm(dtype=self.dtype, name="text_norm")(xf)
+        q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
+        k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xfn)
+        v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xfn)
+        y = quadratic_attention(q, k, v, self.num_heads)
+        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
+            y, emb, deterministic
+        )
+
+
+class QuadraticInteractionAttention(nn.Module):
+    """(ref: TemporalInteractionCrossAttention, interaction_transformer.py:209-249)"""
+
+    latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, src_mask, deterministic: bool = True):
+        partner = jnp.flip(x, axis=1)
+        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        text_norm = nn.LayerNorm(dtype=self.dtype, name="text_norm")
+        q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(norm(x))
+        k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(text_norm(partner))
+        v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(text_norm(partner))
+        mask = jnp.broadcast_to(src_mask, x.shape[:-1])
+        bias = (1.0 - jnp.flip(mask, axis=1))[..., None, :, None] * -100000.0
+        y = quadratic_attention(q, k, v, self.num_heads, logit_bias=bias)
+        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
+            y, emb, deterministic
+        )
+
+
+class FFN(nn.Module):
+    """GELU MLP with zero-init second layer + stylization gate.
+
+    (ref: interaction_transformer.py:251-264)
+    """
+
+    latent_dim: int
+    ffn_dim: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic: bool = True):
+        h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(
+            self.latent_dim,
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="linear2",
+        )(h)
+        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
+            h, emb, deterministic
+        )

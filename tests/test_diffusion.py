@@ -1,0 +1,136 @@
+"""Golden + behavioral tests for the diffusion engine."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hig_tpu.diffusion import gaussian as g
+
+GOLD = np.load(os.path.join(os.path.dirname(__file__), "golden", "diffusion.npz"))
+
+
+class TestScheduleTables:
+    @pytest.mark.parametrize("name,steps", [("linear", 1000), ("cosine", 1000), ("linear", 50)])
+    def test_tables_match_reference_float64(self, name, steps):
+        betas = g.named_betas(name, steps)
+        np.testing.assert_allclose(betas, GOLD[f"betas_{name}_{steps}"], rtol=1e-12)
+        tables = g.schedule_tables_f64(betas)
+        for tab in [
+            "alphas_cumprod",
+            "sqrt_alphas_cumprod",
+            "sqrt_one_minus_alphas_cumprod",
+            "sqrt_recip_alphas_cumprod",
+            "sqrt_recipm1_alphas_cumprod",
+            "posterior_variance",
+            "posterior_log_variance_clipped",
+            "posterior_mean_coef1",
+            "posterior_mean_coef2",
+        ]:
+            np.testing.assert_allclose(
+                tables[tab], GOLD[f"{tab}_{name}_{steps}"], rtol=1e-12, err_msg=tab
+            )
+
+
+@pytest.fixture(scope="module")
+def sched():
+    return g.make_schedule(g.linear_betas(1000))
+
+
+class TestFunctional:
+    def test_q_sample(self, sched):
+        x_t = g.q_sample(sched, GOLD["x0"], GOLD["t"], GOLD["noise"])
+        np.testing.assert_allclose(np.asarray(x_t), GOLD["q_sample"], atol=1e-5)
+
+    def test_posterior(self, sched):
+        x_t = g.q_sample(sched, GOLD["x0"], GOLD["t"], GOLD["noise"])
+        mean, var, logvar = g.q_posterior_mean_variance(sched, GOLD["x0"], x_t, GOLD["t"])
+        np.testing.assert_allclose(np.asarray(mean), GOLD["post_mean"], atol=1e-5)
+        np.testing.assert_allclose(
+            np.broadcast_to(np.asarray(var), GOLD["post_var"].shape),
+            GOLD["post_var"], atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.broadcast_to(np.asarray(logvar), GOLD["post_logvar"].shape),
+            GOLD["post_logvar"], atol=1e-4,
+        )
+
+    def test_predict_xstart_and_p_mean_variance(self, sched):
+        x_t = g.q_sample(sched, GOLD["x0"], GOLD["t"], GOLD["noise"])
+        x0_hat = g.predict_xstart_from_eps(sched, x_t, GOLD["t"], GOLD["eps_pred"])
+        np.testing.assert_allclose(np.asarray(x0_hat), GOLD["pred_xstart"], atol=1e-4)
+
+        mean, logvar, pred = g.p_mean_variance(
+            sched, jnp.asarray(GOLD["eps_pred"]), x_t, GOLD["t"], clip_denoised=False
+        )
+        np.testing.assert_allclose(np.asarray(mean), GOLD["p_mean"], atol=1e-4)
+        np.testing.assert_allclose(
+            np.broadcast_to(np.asarray(logvar), GOLD["p_logvar"].shape),
+            GOLD["p_logvar"], atol=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(pred), GOLD["p_pred_xstart"], atol=1e-4)
+
+    def test_training_targets_epsilon(self, sched):
+        x_t, target = g.training_targets(sched, GOLD["x0"], GOLD["t"], GOLD["noise"])
+        np.testing.assert_allclose(np.asarray(target), GOLD["noise"])
+        np.testing.assert_allclose(np.asarray(x_t), GOLD["q_sample"], atol=1e-5)
+
+
+class TestSamplers:
+    def _perfect_model(self, sched, x0):
+        """Denoiser that inverts q_sample exactly: eps = (x_t - a·x0)/b."""
+        def model(x, t):
+            a = g._extract(sched.sqrt_alphas_cumprod, t, x.ndim)
+            b = g._extract(sched.sqrt_one_minus_alphas_cumprod, t, x.ndim)
+            return (x - a * x0) / b
+        return model
+
+    def test_ddpm_recovers_x0_with_perfect_model(self, sched):
+        x0 = jnp.ones((2, 4, 3)) * jnp.asarray([0.5, -0.25, 1.5])
+        model = self._perfect_model(sched, x0)
+        out = g.p_sample_loop(sched, model, x0.shape, jax.random.key(0))
+        # With a perfect eps model, pred_xstart == x0 every step; remaining
+        # variance comes only from the posterior noise at small t.
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=0.15)
+
+    def test_ddim_deterministic_recovers_x0(self, sched):
+        x0 = jnp.ones((2, 4, 3)) * jnp.asarray([0.5, -0.25, 1.5])
+        model = self._perfect_model(sched, x0)
+        out = g.ddim_sample_loop(sched, model, x0.shape, jax.random.key(0), num_steps=50)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
+    def test_samplers_jit_and_batch(self, sched):
+        x0 = jnp.zeros((4, 6, 5))
+        model = self._perfect_model(sched, x0)
+        f = jax.jit(
+            lambda rng: g.ddim_sample_loop(sched, model, x0.shape, rng, num_steps=10)
+        )
+        out = f(jax.random.key(1))
+        assert out.shape == x0.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTimestepSamplers:
+    def test_uniform(self):
+        from hig_tpu.diffusion import timestep_samplers as ts
+
+        t, w = ts.uniform_sample(jax.random.key(0), 512, 1000)
+        assert t.shape == (512,) and (np.asarray(t) >= 0).all() and (np.asarray(t) < 1000).all()
+        np.testing.assert_allclose(np.asarray(w), 1.0)
+
+    def test_loss_aware_warmup_and_weights(self):
+        from hig_tpu.diffusion import timestep_samplers as ts
+
+        state = ts.LossSecondMomentState.create(10, history_per_term=2)
+        # Before warm: uniform.
+        w = ts.loss_aware_weights(state)
+        np.testing.assert_allclose(np.asarray(w), 0.1)
+        # Feed history: timestep 3 has big losses.
+        t = jnp.asarray([3, 3] + [i for i in range(10) for _ in range(2) if i != 3])
+        losses = jnp.where(t == 3, 10.0, 1.0).astype(jnp.float32)
+        state = ts.loss_aware_update(state, t, losses)
+        w = np.asarray(ts.loss_aware_weights(state))
+        assert w[3] > w[0]
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-3)
