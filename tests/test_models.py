@@ -1,0 +1,213 @@
+"""Behavioral tests for the model zoo (denoisers, text encoder, evaluators).
+
+The reference has only an eyeball smoke block
+(interaction_transformer.py:831-855) checking mask invariance; these tests
+make that property (and several structural ones) executable.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hig_tpu.models.denoiser import InteractionDenoiser, MotionDenoiser
+from hig_tpu.models.eval_models import MotionConsistencyEvalModel, MotionEncoder
+from hig_tpu.models.text_encoder import ClassConditioner, ClipTextConfig, TextEncoder
+from hig_tpu.models.tokenizer import CONTEXT_LENGTH, EOT, SOT, tokenize
+
+TINY = dict(
+    input_feats=263, num_frames=32, latent_dim=32, ff_size=64,
+    num_layers=2, num_heads=4, text_latent_dim=16,
+)
+TINY_CLIP = ClipTextConfig(vocab_size=49408, context_length=77, width=32, heads=4, layers=2)
+
+
+def _text_cond(B, key, time_embed_dim=128, text_latent_dim=16, L=7):
+    k1, k2 = jax.random.split(key)
+    xf_proj = jax.random.normal(k1, (B, 2, time_embed_dim))
+    xf_out = jax.random.normal(k2, (B, 2, L, text_latent_dim))
+    return xf_proj, xf_out
+
+
+class TestTokenizer:
+    def test_layout(self):
+        toks = tokenize(["A person is pushing the other person."])
+        assert toks.shape == (1, CONTEXT_LENGTH)
+        assert toks[0, 0] == SOT
+        assert EOT in toks[0]
+        assert toks[0].argmax() == list(toks[0]).index(EOT)
+
+    def test_deterministic_and_distinct(self):
+        a = tokenize("A person is pushing the other person.")
+        b = tokenize("A person is pushing the other person.")
+        c = tokenize("A person is pushed by the other person.")
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_truncation(self):
+        toks = tokenize("word " * 200)
+        assert toks.shape == (1, CONTEXT_LENGTH)
+        assert toks[0, -1] == EOT
+
+
+@pytest.fixture(scope="module")
+def interaction_model():
+    model = InteractionDenoiser(**TINY)
+    B, T = 2, 24
+    x = jax.random.normal(jax.random.key(0), (B, 2, T, 263))
+    t = jnp.asarray([10, 500])
+    lengths = jnp.asarray([T, 17])
+    xf_proj, xf_out = _text_cond(B, jax.random.key(1))
+    params = model.init(jax.random.key(2), x, t, lengths, xf_proj, xf_out)
+    return model, params, (x, t, lengths, xf_proj, xf_out)
+
+
+class TestInteractionDenoiser:
+    def test_zero_at_init(self, interaction_model):
+        """Zero-init output heads ⇒ exact zero prediction at init."""
+        model, params, args = interaction_model
+        out = model.apply(params, *args)
+        assert out.shape == args[0].shape
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    def _random_params(self, model, args):
+        params = model.init(jax.random.key(3), *args)
+        # randomize all weights incl. zero-init heads so behavior is nontrivial
+        leaves, tree = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.key(4), len(leaves))
+        leaves = [
+            0.02 * jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)
+        ]
+        return jax.tree_util.tree_unflatten(tree, leaves)
+
+    def test_mask_invariance(self, interaction_model):
+        """Padded vs truncated inputs agree on the valid region.
+
+        (executable version of the reference smoke block, :831-855)
+        """
+        model, _, (x, t, lengths, xf_proj, xf_out) = interaction_model
+        params = self._random_params(model, (x, t, lengths, xf_proj, xf_out))
+        L = 17
+        lengths = jnp.asarray([L, L])
+        full = model.apply(params, x, t, lengths, xf_proj, xf_out)
+        trunc = model.apply(params, x[:, :, :L], t, lengths, xf_proj, xf_out)
+        np.testing.assert_allclose(
+            np.asarray(full[:, :, :L]), np.asarray(trunc), atol=1e-5
+        )
+
+    def test_actor_swap_equivariance(self, interaction_model):
+        """Swapping actors (and their captions) swaps the prediction."""
+        model, _, (x, t, lengths, xf_proj, xf_out) = interaction_model
+        params = self._random_params(model, (x, t, lengths, xf_proj, xf_out))
+        out = model.apply(params, x, t, lengths, xf_proj, xf_out)
+        out_sw = model.apply(
+            params,
+            jnp.flip(x, 1), t, lengths, jnp.flip(xf_proj, 1), jnp.flip(xf_out, 1),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_sw), np.asarray(jnp.flip(out, 1)), atol=1e-5
+        )
+
+    def test_quadratic_variant_runs(self):
+        model = InteractionDenoiser(**{**TINY, "efficient": False})
+        B, T = 2, 12
+        x = jax.random.normal(jax.random.key(0), (B, 2, T, 263))
+        t = jnp.asarray([3, 7])
+        lengths = jnp.asarray([T, 9])
+        xf_proj, xf_out = _text_cond(B, jax.random.key(1))
+        params = model.init(jax.random.key(2), x, t, lengths, xf_proj, xf_out)
+        out = model.apply(params, x, t, lengths, xf_proj, xf_out)
+        assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+    def test_no_interaction_ablation(self):
+        model = InteractionDenoiser(**{**TINY, "interaction": False})
+        B, T = 1, 8
+        x = jax.random.normal(jax.random.key(0), (B, 2, T, 263))
+        args = (x, jnp.asarray([5]), jnp.asarray([T]), *_text_cond(B, jax.random.key(1)))
+        params = model.init(jax.random.key(2), *args)
+        assert "int_ca_block" not in str(jax.tree_util.tree_structure(params))
+        out = model.apply(params, *args)
+        assert out.shape == x.shape
+
+
+class TestMotionDenoiser:
+    def test_shapes_and_zero_init(self):
+        model = MotionDenoiser(**TINY)
+        B, T = 3, 16
+        x = jax.random.normal(jax.random.key(0), (B, T, 263))
+        t = jnp.asarray([1, 2, 3])
+        lengths = jnp.asarray([16, 10, 4])
+        xf_proj = jax.random.normal(jax.random.key(1), (B, 128))
+        xf_out = jax.random.normal(jax.random.key(2), (B, 7, 16))
+        params = model.init(jax.random.key(3), x, t, lengths, xf_proj, xf_out)
+        out = model.apply(params, x, t, lengths, xf_proj, xf_out)
+        assert out.shape == x.shape
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+class TestTextEncoder:
+    def test_shapes(self):
+        enc = TextEncoder(clip_config=TINY_CLIP, text_latent_dim=16, text_ff_size=32,
+                          num_text_layers=2, time_embed_dim=128)
+        toks = jnp.asarray(tokenize(["a person pushes", "a person is pushed"]))
+        params = enc.init(jax.random.key(0), toks)
+        xf_proj, xf_out = enc.apply(params, toks)
+        assert xf_proj.shape == (2, 128)
+        assert xf_out.shape == (2, 77, 16)
+
+    def test_clip_tower_gets_no_gradient(self):
+        enc = TextEncoder(clip_config=TINY_CLIP, text_latent_dim=16, text_ff_size=32,
+                          num_text_layers=2, time_embed_dim=128)
+        toks = jnp.asarray(tokenize(["hello"]))
+        params = enc.init(jax.random.key(0), toks)
+
+        def loss(p):
+            xf_proj, _ = enc.apply(p, toks)
+            return jnp.sum(xf_proj**2)
+
+        grads = jax.grad(loss)(params)
+        clip_grads = grads["params"]["clip"]
+        total = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(clip_grads))
+        assert total == 0.0
+        suffix_grads = grads["params"]["text_proj"]
+        assert sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(suffix_grads)) > 0
+
+    def test_class_conditioner(self):
+        cond = ClassConditioner(num_captions=43, text_latent_dim=16, time_embed_dim=128)
+        ids = jnp.asarray([0, 42, 7])
+        params = cond.init(jax.random.key(0), ids)
+        xf_proj, xf_out = cond.apply(params, ids)
+        assert xf_proj.shape == (3, 128)
+        assert xf_out.shape == (3, 1, 16)
+
+
+class TestEvalModels:
+    def test_motion_encoder(self):
+        model = MotionEncoder(input_feats=259, num_frames=32, latent_dim=32,
+                              ff_size=64, num_layers=2, num_heads=4)
+        x = jax.random.normal(jax.random.key(0), (2, 2, 16, 259))
+        lengths = jnp.asarray([16, 9])
+        params = model.init(jax.random.key(1), x, lengths)
+        logits, emb = model.apply(params, x, lengths)
+        assert logits.shape == (2, 26)
+        assert emb.shape == (2, 32)
+
+    def test_motion_encoder_mask_invariance(self):
+        model = MotionEncoder(input_feats=259, num_frames=32, latent_dim=32,
+                              ff_size=64, num_layers=2, num_heads=4)
+        x = jax.random.normal(jax.random.key(0), (1, 2, 16, 259))
+        L = 9
+        params = model.init(jax.random.key(1), x, jnp.asarray([16]))
+        logits_pad, emb_pad = model.apply(params, x, jnp.asarray([L]))
+        logits_cut, emb_cut = model.apply(params, x[:, :, :L], jnp.asarray([L]))
+        np.testing.assert_allclose(np.asarray(emb_pad), np.asarray(emb_cut), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(logits_pad), np.asarray(logits_cut), atol=1e-5)
+
+    def test_consistency_model(self):
+        model = MotionConsistencyEvalModel(input_feats=259, num_frames=32, latent_dim=32,
+                                           ff_size=64, num_layers=2, num_heads=4)
+        x = jax.random.normal(jax.random.key(0), (3, 2, 16, 259))
+        lengths = jnp.asarray([16, 8, 12])
+        params = model.init(jax.random.key(1), x, lengths)
+        logits = model.apply(params, x, lengths)
+        assert logits.shape == (3, 2)
