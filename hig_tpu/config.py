@@ -1,0 +1,235 @@
+"""Configuration system: typed dataclasses with opt.txt round-trip.
+
+Replaces the reference's three-tier argparse stack + opt.txt re-parser
+(codes/options/base_options.py, train_options.py, evaluate_options.py,
+utils/get_opt.py) with one typed config. ``save_opt_txt`` / ``load_opt_txt``
+keep the reference's on-disk ``key: value`` format so experiment directories
+stay the unit of reproducibility, and :func:`add_dataset_paths` injects the
+same per-dataset constants as get_opt.py:63-94.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from os.path import join as pjoin
+from typing import Optional
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Device-mesh layout. The reference's only parallelism is DP over gloo
+    (SURVEY.md §2.6); here DP rides the ``data`` axis and the ``model`` axis
+    is reserved for tensor/fsdp sharding at larger scales."""
+
+    data: int = -1  # -1: all devices
+    model: int = 1
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # identification / paths (ref: base_options.py:14-40)
+    name: str = "test"
+    dataset_name: str = "ntu_mul"
+    checkpoints_dir: str = "./checkpoints"
+    data_root: Optional[str] = None
+
+    # task flags (ref: base_options.py:17-27)
+    multi: bool = True
+    cap_id: bool = False
+    cap_same: bool = False
+    pretrained: bool = False
+    only_language: bool = False
+    only_motion: bool = False
+    label_path: Optional[str] = None
+    save_label_dir: Optional[str] = None
+
+    # model (ref: train_options.py:7-13)
+    num_layers: int = 8
+    latent_dim: int = 512
+    ff_size: int = 1024
+    num_heads: int = 8
+    num_text_layers: int = 4
+    text_latent_dim: int = 256
+    text_ff_size: int = 2048
+    text_num_heads: int = 4
+    diffusion_steps: int = 1000
+    no_clip: bool = False
+    no_eff: bool = False
+    no_cross_attn: bool = False
+    label_model: bool = False
+    dropout: float = 0.0
+
+    # optimization (ref: train_options.py:15-28)
+    num_epochs: int = 50
+    limit_data_num: int = -1
+    lr: float = 2e-4
+    batch_size: int = 32  # global batch (the reference's is per-GPU)
+    times: int = 1
+    feat_bias: float = 5.0
+    grad_clip: float = 0.5
+    is_continue: bool = False
+    log_every: int = 50
+    save_every_e: int = 5
+    eval_every_e: int = 5
+    save_latest: int = 500
+
+    # sampling / eval (ref: evaluate_options.py)
+    which_epoch: str = "latest"
+    split_file: str = "test_sub.txt"
+    result_path: str = "./result"
+    sampler: str = "ddpm"  # "ddpm" | "ddim"
+    ddim_steps: int = 50
+
+    # TPU-native additions
+    seed: int = 0
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    window_size: int = 90  # training window frames (ref: mul_dataset.py:186)
+
+    # dataset-derived (filled by add_dataset_paths; ref get_opt.py:63-94)
+    joints_num: int = 22
+    dim_pose: int = 263
+    max_motion_length: int = 196
+    is_train: bool = True
+
+    # --- derived paths -----------------------------------------------------
+    @property
+    def save_root(self) -> str:
+        return pjoin(self.checkpoints_dir, self.dataset_name, self.name)
+
+    @property
+    def model_dir(self) -> str:
+        return pjoin(self.save_root, "model")
+
+    @property
+    def meta_dir(self) -> str:
+        return pjoin(self.save_root, "meta")
+
+    @property
+    def motion_dir(self) -> str:
+        return pjoin(self.data_root, "new_joint_vecs")
+
+    @property
+    def text_dir(self) -> str:
+        return pjoin(self.data_root, "texts")
+
+
+_DATASET_PRESETS = {
+    # (ref: get_opt.py:67-94)
+    "t2m": dict(data_root="./data/HumanML3D", joints_num=22, dim_pose=263,
+                max_motion_length=196, multi=False),
+    "kit": dict(data_root="./data/KIT-ML", joints_num=21, dim_pose=251,
+                max_motion_length=196, multi=False),
+    "ntu_mul": dict(data_root="./data/NTURGBD_multi", joints_num=22, dim_pose=263,
+                    max_motion_length=196, multi=True),
+    "synthetic_mul": dict(data_root="./data/synthetic_mul", joints_num=22, dim_pose=263,
+                          max_motion_length=196, multi=True),
+}
+
+
+def add_dataset_paths(cfg: ExperimentConfig) -> ExperimentConfig:
+    preset = _DATASET_PRESETS.get(cfg.dataset_name)
+    if preset is None:
+        raise KeyError(f"Dataset not recognized: {cfg.dataset_name}")
+    for k, v in preset.items():
+        if k == "data_root" and cfg.data_root:
+            continue
+        setattr(cfg, k, v)
+    return cfg
+
+
+# --------------------------------------------------------------------------
+# opt.txt round-trip (reference format: base_options.py:86-95, get_opt.py)
+# --------------------------------------------------------------------------
+
+_HEADER = "------------ Options -------------"
+_FOOTER = "-------------- End ----------------"
+
+
+def _flatten(cfg: ExperimentConfig) -> dict:
+    d = dataclasses.asdict(cfg)
+    mesh = d.pop("mesh")
+    d["mesh_data"] = mesh["data"]
+    d["mesh_model"] = mesh["model"]
+    return d
+
+
+def save_opt_txt(cfg: ExperimentConfig, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(_HEADER + "\n")
+        for k, v in sorted(_flatten(cfg).items()):
+            f.write(f"{k}: {v}\n")
+        f.write(_FOOTER + "\n")
+
+
+def load_opt_txt(path: str, **overrides) -> ExperimentConfig:
+    fields = {f.name: f for f in dataclasses.fields(ExperimentConfig)}
+    raw: dict = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line in (_HEADER, _FOOTER):
+                continue
+            key, _, value = line.partition(": ")
+            raw[key] = value
+    mesh = MeshConfig(
+        data=int(raw.pop("mesh_data", -1)), model=int(raw.pop("mesh_model", 1))
+    )
+    kwargs = {}
+    for key, value in raw.items():
+        if key not in fields:
+            continue  # tolerate reference opt.txt extras
+        ftype = fields[key].type
+        if value == "None":
+            kwargs[key] = None
+        elif ftype in ("bool", bool):
+            kwargs[key] = value == "True"
+        elif ftype in ("int", int):
+            kwargs[key] = int(float(value))
+        elif ftype in ("float", float):
+            kwargs[key] = float(value)
+        else:
+            kwargs[key] = value
+    kwargs["mesh"] = mesh
+    kwargs.update(overrides)
+    return add_dataset_paths(ExperimentConfig(**kwargs))
+
+
+# --------------------------------------------------------------------------
+# argparse bridge for the tools/ CLIs
+# --------------------------------------------------------------------------
+
+
+def add_config_args(parser: argparse.ArgumentParser) -> None:
+    """Expose every ExperimentConfig field as a --flag (bools as
+    --flag/--no-flag pairs), mirroring the reference CLI surface."""
+    for f in dataclasses.fields(ExperimentConfig):
+        if f.name == "mesh":
+            parser.add_argument("--mesh_data", type=int, default=-1)
+            parser.add_argument("--mesh_model", type=int, default=1)
+            continue
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.type in ("bool", bool):
+            parser.add_argument(
+                f"--{f.name}", action=argparse.BooleanOptionalAction, default=default
+            )
+        elif f.type in ("int", int):
+            parser.add_argument(f"--{f.name}", type=int, default=default)
+        elif f.type in ("float", float):
+            parser.add_argument(f"--{f.name}", type=float, default=default)
+        else:
+            parser.add_argument(f"--{f.name}", type=str, default=default)
+
+
+def config_from_args(args: argparse.Namespace, is_train: bool = True) -> ExperimentConfig:
+    kwargs = {
+        f.name: getattr(args, f.name)
+        for f in dataclasses.fields(ExperimentConfig)
+        if f.name != "mesh" and hasattr(args, f.name)
+    }
+    kwargs["mesh"] = MeshConfig(data=args.mesh_data, model=args.mesh_model)
+    kwargs["is_train"] = is_train
+    return add_dataset_paths(ExperimentConfig(**kwargs))

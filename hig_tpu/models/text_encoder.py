@@ -167,6 +167,12 @@ class TextEncoder(nn.Module):
     xf_proj: (N, time_embed_dim) pooled conditioning added to the timestep
     embedding; xf_out: (N, 77, text_latent_dim) token features for
     cross-attention. (ref: encode_text, interaction_transformer.py:533-559)
+
+    The frozen CLIP tower and the learnable suffix are separable:
+    :meth:`tower` output depends only on the caption, so training loops with
+    a fixed caption vocabulary (NTU has 43 strings) precompute it once and
+    call :meth:`from_tower` inside the train step — the reference re-ran the
+    frozen CLIP tower every step.
     """
 
     clip_config: ClipTextConfig = ClipTextConfig()
@@ -178,26 +184,45 @@ class TextEncoder(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, tokens: jax.Array, deterministic: bool = True):
-        x = ClipTextTower(self.clip_config, self.dtype, name="clip")(tokens)
-        x = jax.lax.stop_gradient(x)  # frozen tower (belt-and-braces with the optax mask)
+    def setup(self):
+        self.clip = ClipTextTower(self.clip_config, self.dtype)
         if self.text_latent_dim != self.clip_config.width:
-            x = nn.Dense(self.text_latent_dim, dtype=self.dtype, name="text_pre_proj")(x)
-        for i in range(self.num_text_layers):
-            x = PostLNEncoderLayer(
+            self.text_pre_proj = nn.Dense(self.text_latent_dim, dtype=self.dtype)
+        self.text_blocks = [
+            PostLNEncoderLayer(
                 self.text_latent_dim,
                 self.text_num_heads,
                 self.text_ff_size,
                 self.dropout,
                 self.dtype,
-                name=f"text_block_{i}",
-            )(x, deterministic)
-        xf_out = nn.LayerNorm(dtype=self.dtype, name="text_ln")(x)
+            )
+            for i in range(self.num_text_layers)
+        ]
+        self.text_ln = nn.LayerNorm(dtype=self.dtype)
+        self.text_proj = nn.Dense(self.time_embed_dim, dtype=self.dtype)
+
+    def tower(self, tokens: jax.Array) -> jax.Array:
+        """Frozen CLIP features (N, 77, width) — cacheable per caption."""
+        return jax.lax.stop_gradient(self.clip(tokens))
+
+    def from_tower(
+        self, tower_out: jax.Array, tokens: jax.Array, deterministic: bool = True
+    ):
+        """Learnable suffix: tower features + tokens → (xf_proj, xf_out)."""
+        if self.text_latent_dim != self.clip_config.width:
+            x = self.text_pre_proj(tower_out)
+        else:
+            x = tower_out
+        for block in self.text_blocks:
+            x = block(x, deterministic)
+        xf_out = self.text_ln(x)
         eot = jnp.argmax(tokens, axis=-1)
-        pooled = xf_out[jnp.arange(tokens.shape[0]), eot]
-        xf_proj = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="text_proj")(pooled)
+        pooled = jnp.take_along_axis(xf_out, eot[:, None, None], axis=1)[:, 0]
+        xf_proj = self.text_proj(pooled)
         return xf_proj, xf_out
+
+    def __call__(self, tokens: jax.Array, deterministic: bool = True):
+        return self.from_tower(self.tower(tokens), tokens, deterministic)
 
 
 class ClassConditioner(nn.Module):

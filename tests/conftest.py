@@ -19,3 +19,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def synth_root(tmp_path_factory):
+    """One synthetic NTU-format dataset shared by all test modules."""
+    root = str(tmp_path_factory.mktemp("synth") / "data")
+    from hig_tpu.data.synthetic import generate_dataset
+
+    generate_dataset(root, clips_per_class=2, min_frames=26, max_frames=40, seed=0)
+    return root

@@ -1,0 +1,142 @@
+"""Full evaluation suite: Acc / FID / Consistency / Diversity / MultiModality.
+
+Equivalent of codes/tools/evaluation.py:179-315. Loads the trained
+generator + both evaluator checkpoints, generates pairs for the test split,
+and reports mean ± 1.96·σ/√n over replications, with confusion matrices.
+"""
+
+import argparse
+import json
+import os
+from os.path import join as pjoin
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _common import load_stats, restore_trainer_state  # noqa: E402
+
+from hig_tpu.config import load_opt_txt
+from hig_tpu.data.dataset import PairDataset
+from hig_tpu.data.vocab import NUM_CLASSES
+from hig_tpu.eval.evaluator import (
+    evaluate_once, generate_test_set, make_embedder, summarize,
+)
+from hig_tpu.models.eval_models import MotionConsistencyEvalModel, MotionEncoder
+from hig_tpu.models.tokenizer import tokenize
+from hig_tpu.train import checkpoint as ckpt
+from hig_tpu.train.trainer import make_sampler
+
+
+def load_eval_models(cfg, eval_dir, cons_dir):
+    common = dict(
+        input_feats=cfg.dim_pose - 4, num_frames=cfg.max_motion_length,
+        latent_dim=cfg.latent_dim, ff_size=cfg.ff_size,
+        num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+    )
+    enc = MotionEncoder(class_num=NUM_CLASSES, **common)
+    cons = MotionConsistencyEvalModel(class_num=2, **common)
+    T = cfg.window_size + 1
+    x = jnp.zeros((1, 2, T, cfg.dim_pose - 4))
+    lengths = jnp.full((1,), T, jnp.int32)
+    enc_params = ckpt.restore_params(
+        pjoin(eval_dir, "best_eval_model"), enc.init(jax.random.key(0), x, lengths)
+    )
+    cons_params = ckpt.restore_params(
+        pjoin(cons_dir, "best_eval_model"), cons.init(jax.random.key(0), x, lengths)
+    )
+    return enc, enc_params, cons, cons_params
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--opt_path", type=str, required=True)
+    parser.add_argument("--model_name", type=str, default="latest")
+    parser.add_argument("--split_file", type=str, default="test_sub.txt")
+    parser.add_argument("--file_id", type=str, default="0")
+    parser.add_argument("--eval_model_dir", type=str, default=None)
+    parser.add_argument("--consistency_model_dir", type=str, default=None)
+    parser.add_argument("--replication_times", type=int, default=1)
+    parser.add_argument("--sampler", type=str, default=None, choices=[None, "ddpm", "ddim"])
+    parser.add_argument("--gen_T", type=int, default=None,
+                        help="generation length (default: max_motion_length)")
+    args = parser.parse_args()
+
+    cfg = load_opt_txt(args.opt_path, is_train=False)
+    if args.sampler:
+        cfg.sampler = args.sampler
+    mean, std = load_stats(cfg, for_training=False)
+    trainer, state, _, _ = restore_trainer_state(cfg, args.model_name)
+
+    eval_dir = args.eval_model_dir or pjoin(cfg.checkpoints_dir, cfg.dataset_name, "eval_model", "model")
+    cons_dir = args.consistency_model_dir or pjoin(
+        cfg.checkpoints_dir, cfg.dataset_name, "consistency_eval_model", "model"
+    )
+    enc, enc_params, cons, cons_params = load_eval_models(cfg, eval_dir, cons_dir)
+    embed = make_embedder(enc, enc_params, cons, cons_params)
+
+    test_ds = PairDataset(cfg, mean, std, args.split_file, eval_mode=True)
+    # eval items: raw windowed+normalized gt with init row first → convert to
+    # generated layout (init first already) for the shared windowing path.
+    eval_samples = []
+    for i in range(test_ds.real_len()):
+        s = test_ds.__getitem__(i, epoch=0)
+        eval_samples.append(
+            dict(motion=s["motion"], length=int(s["length"]), class_id=int(s["class_id"]),
+                 caption1=s["caption1"], caption2=s["caption2"])
+        )
+
+    T_gen = args.gen_T or cfg.max_motion_length
+    sample_fn = make_sampler(
+        trainer.model, trainer.sched, T=T_gen, dim_pose=cfg.dim_pose,
+        sampler=cfg.sampler, ddim_steps=cfg.ddim_steps,
+    )
+    tokens_of = lambda s: np.stack(
+        [tokenize(s["caption1"])[0], tokenize(s["caption2"])[0]]
+    )
+
+    save_dir = pjoin(cfg.result_path, cfg.name, args.model_name)
+    os.makedirs(save_dir, exist_ok=True)
+    log_file = pjoin(save_dir, f"t2m_fin_evaluation{args.file_id}.log")
+
+    gt_items = [
+        dict(motion=s["motion"], length=s["length"], class_id=s["class_id"])
+        for s in eval_samples
+    ]
+    replications = []
+    rng = jax.random.key(cfg.seed)
+    with open(log_file, "w") as f:
+        for rep in range(args.replication_times):
+            rng, sub = jax.random.split(rng)
+            gen = generate_test_set(
+                sample_fn, state.params, eval_samples, tokens_of, T_gen, sub
+            )
+            res = evaluate_once(embed, gt_items, gen, np.random.default_rng(rep))
+            replications.append(res)
+            for metric, vals in res.items():
+                if metric.startswith("_"):
+                    continue
+                for model_name, v in vals.items():
+                    line = f"---> [{model_name}] {metric}: {v:.4f}"
+                    print(line)
+                    print(line, file=f, flush=True)
+            cm = res["_confusion"]["text2motion"]
+            np.save(pjoin(save_dir, f"confusion_matrix{args.file_id}_rep{rep}.npy"), cm)
+
+        summary = summarize(replications, args.replication_times)
+        for metric, models in summary.items():
+            print(f"========== {metric} Summary ==========", file=f, flush=True)
+            print(f"========== {metric} Summary ==========")
+            for model_name, (m, ci) in models.items():
+                line = f"---> [{model_name}] Mean: {m:.4f} CInterval: {ci:.4f}"
+                print(line)
+                print(line, file=f, flush=True)
+        with open(pjoin(save_dir, f"summary{args.file_id}.json"), "w") as jf:
+            json.dump(
+                {m: {k: list(v) for k, v in d.items()} for m, d in summary.items()}, jf
+            )
+    print(f"wrote {log_file}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Train the interaction (or PIT) diffusion model.
+
+Equivalent of codes/tools/train.py. Stage 1-1 (PIT): run without
+--label_path (+ --cap_id to match the reference's PIT config). Stage 1-3:
+run with --label_path pseudo_labels.json.
+
+Example:
+  python tools/train.py --name pit --dataset_name ntu_mul --cap_id \
+      --batch_size 640 --times 30 --num_epochs 50
+  python tools/train.py --name interaction --dataset_name ntu_mul \
+      --label_path data/NTURGBD_multi/pseudo_labels.json \
+      --batch_size 480 --times 200 --num_epochs 50
+"""
+
+import argparse
+import os
+from os.path import join as pjoin
+
+from _common import load_stats  # noqa: E402  (sys.path set in _common)
+
+from hig_tpu.config import add_config_args, config_from_args, save_opt_txt
+from hig_tpu.data.dataset import PairDataset
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_config_args(parser)
+    args = parser.parse_args()
+    cfg = config_from_args(args, is_train=True)
+
+    os.makedirs(cfg.model_dir, exist_ok=True)
+    os.makedirs(cfg.meta_dir, exist_ok=True)
+    save_opt_txt(cfg, pjoin(cfg.save_root, "opt.txt"))
+
+    mean, std = load_stats(cfg, for_training=True)
+    dataset = PairDataset(
+        cfg, mean, std, "train_sub.txt", times=cfg.times,
+        label_path=cfg.label_path, seed=cfg.seed,
+    )
+    print(f"dataset: {dataset.real_len()} clips x times={cfg.times}")
+
+    from hig_tpu.train import checkpoint as ckpt
+    from hig_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    if cfg.is_continue:
+        state, epoch, it = ckpt.restore_state(pjoin(cfg.model_dir, "latest"), state)
+        print(f"resumed from epoch {epoch}, it {it}")
+    trainer.train(dataset, state)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Generate a two-person motion from captions and render it.
+
+Equivalent of codes/tools/visualization.py: sample with the trained model,
+de-normalize with the experiment's meta stats, recover world-frame joints
+via recover_from_ric2, save the (2, T, 22, 3) npy and a gif.
+"""
+
+import argparse
+import os
+from os.path import join as pjoin
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _common import load_stats, restore_trainer_state  # noqa: E402
+
+from hig_tpu.config import load_opt_txt
+from hig_tpu.data.vocab import CLASSID2CAPS
+from hig_tpu.models.tokenizer import tokenize
+from hig_tpu.train.trainer import make_sampler
+from hig_tpu.utils.kinematics import T2M_KINEMATIC_CHAIN
+from hig_tpu.utils.motion_codec import recover_from_ric2
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--opt_path", type=str, required=True)
+    parser.add_argument("--which_epoch", type=str, default="latest")
+    parser.add_argument("--caption1", type=str, default=None)
+    parser.add_argument("--caption2", type=str, default=None)
+    parser.add_argument("--class_id", type=int, default=None,
+                        help="use the canonical captions of this NTU class")
+    parser.add_argument("--motion_length", type=int, default=60)
+    parser.add_argument("--result_path", type=str, default="./result")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--gif", action="store_true", default=True)
+    parser.add_argument("--no-gif", dest="gif", action="store_false")
+    args = parser.parse_args()
+
+    cfg = load_opt_txt(args.opt_path, is_train=False)
+    if args.class_id is not None:
+        caption1, caption2 = CLASSID2CAPS[args.class_id]
+    else:
+        caption1 = args.caption1 or CLASSID2CAPS[2][0]
+        caption2 = args.caption2 or CLASSID2CAPS[2][1]
+    print(f"caption1: {caption1}\ncaption2: {caption2}")
+
+    mean, std = load_stats(cfg, for_training=False)
+    trainer, state, _, _ = restore_trainer_state(cfg, args.which_epoch)
+
+    T = args.motion_length + 1  # + init token
+    sample_fn = make_sampler(
+        trainer.model, trainer.sched, T=T, dim_pose=cfg.dim_pose,
+        sampler=cfg.sampler, ddim_steps=cfg.ddim_steps,
+    )
+    tokens = np.stack([tokenize(caption1)[0], tokenize(caption2)[0]])[None]
+    out = sample_fn(
+        state.params, jnp.asarray(tokens), jnp.asarray([T], np.int32),
+        jax.random.key(args.seed),
+    )
+    out = np.asarray(out)[0]  # (2, T, D); row 0 = init token
+
+    # de-normalize (ref: visualization.py:149-155)
+    denorm = out.copy()
+    denorm[:, 1:] = out[:, 1:] * std[:-4] + mean[:-4]
+    denorm[:, 0, :4] = out[:, 0, :4] * std[-4:] + mean[-4:]
+    # init token to the last row for recover_from_ric2
+    rolled = np.concatenate([denorm[:, 1:], denorm[:, :1]], axis=1)
+    j1, j2 = recover_from_ric2(
+        jnp.asarray(rolled[0]), jnp.asarray(rolled[1]), cfg.joints_num, init_last=True
+    )
+    joints = np.stack([np.asarray(j1), np.asarray(j2)])
+
+    os.makedirs(args.result_path, exist_ok=True)
+    stem = pjoin(args.result_path, f"sample_c{args.class_id if args.class_id is not None else 'x'}_s{args.seed}")
+    np.save(stem + ".npy", joints)
+    print(f"wrote {stem}.npy {joints.shape}")
+    if args.gif:
+        from hig_tpu.viz.plot import plot_3d_motion2
+
+        plot_3d_motion2(
+            stem + ".gif", T2M_KINEMATIC_CHAIN, joints[0], joints[1],
+            title=caption1,
+        )
+        print(f"wrote {stem}.gif")
+
+
+if __name__ == "__main__":
+    main()
