@@ -288,6 +288,70 @@ class PairMismatchDataset(PairDataset):
         )
 
 
+class SingleMotionDataset:
+    """Single-person dataset (ref: Text2MotionDataset, dataset.py:11-196).
+
+    Conventions differ from the pair dataset: 60-frame window, the init
+    token rides at the END of the window, and the init stats are the 3
+    trailing mean/std entries. Caption files carry one caption per line
+    (no ``_`` pair separator). Consumes (T, D) npy clips with a trailing
+    init row.
+    """
+
+    def __init__(self, cfg, mean, std, split_file, times=1, seed=0,
+                 window: int = 60):
+        self.cfg = cfg
+        self.times = times
+        self.seed = seed
+        self.window = window
+        self.mean, self.std = mean, std
+        with open(pjoin(cfg.data_root, split_file)) as f:
+            names = [l.strip() for l in f if l.strip()]
+        self.clips = []
+        for name in names:
+            npy = pjoin(cfg.motion_dir, name + ".npy")
+            txt = pjoin(cfg.text_dir, name + ".txt")
+            if not (os.path.exists(npy) and os.path.exists(txt)):
+                continue
+            motion = np.load(npy).astype(np.float32)
+            if motion.ndim != 2:
+                continue
+            rows = len(motion)
+            if rows < 24 or rows >= 200:
+                continue
+            captions = [l.strip().split("#")[0] for l in open(txt) if l.strip()]
+            self.clips.append(
+                Clip(name=name, motion=motion, length=rows, texts=captions, class_id=0)
+            )
+        self.clips.sort(key=lambda c: c.length)
+
+    def real_len(self):
+        return len(self.clips)
+
+    def __len__(self):
+        return self.real_len() * self.times
+
+    def __getitem__(self, item, epoch: int = 0) -> dict:
+        clip = self.clips[item % self.real_len()]
+        rng = np.random.default_rng((self.seed, epoch, item))
+        nframes = clip.motion.shape[0] - 1
+        if self.window > nframes:
+            padding = (nframes - 1) * np.ones(self.window - nframes, dtype=int)
+            ix = np.concatenate([np.arange(nframes), padding, [nframes]])
+        else:
+            shift_max = nframes - self.window
+            shift = int(rng.integers(0, max(1, shift_max - 1) if shift_max > 0 else 1))
+            ix = np.concatenate([shift + np.arange(self.window), [nframes]])
+        sample = clip.motion[ix].copy()
+        sample[:-1] = (sample[:-1] - self.mean[:-3]) / self.std[:-3]
+        sample[-1, :3] = (sample[-1, :3] - self.mean[-3:]) / self.std[-3:]
+        caption = clip.texts[int(rng.integers(len(clip.texts)))]
+        return dict(
+            motion=sample, length=min(sample.shape[0], clip.length),
+            caption=caption, class_id=0, name=clip.name,
+        )
+
+
 # --------------------------------------------------------------------------
 # batching
 # --------------------------------------------------------------------------
@@ -322,6 +386,10 @@ def collate(samples: list[dict]) -> dict:
         batch["cap_ids"] = np.asarray(
             [[s["cap_key1"], s["cap_key2"]] for s in samples], np.int32
         )
+    if "caption" in samples[0]:  # single-person samples
+        batch["tokens"] = np.stack(
+            [_tokens_for(s["caption"]) for s in samples]
+        ).astype(np.int32)  # (B, 77)
     if "dummy_label" in samples[0]:
         batch["dummy_label"] = np.asarray([s["dummy_label"] for s in samples], np.int32)
     batch["names"] = [s["name"] for s in samples]

@@ -139,6 +139,67 @@ class InteractionModel(nn.Module):
         return self.denoise(x, timesteps, lengths, xf_proj, xf_out, deterministic)
 
 
+class SingleMotionModel(nn.Module):
+    """Single-person denoiser + text stack (ref MotionTransformer,
+    transformer.py:288-426 — the MotionDiffuse model used for t2m/kit and
+    as the --pretrained weight donor)."""
+
+    input_feats: int = 263
+    num_frames: int = 196
+    latent_dim: int = 512
+    ff_size: int = 1024
+    num_layers: int = 8
+    num_heads: int = 8
+    text_latent_dim: int = 256
+    text_ff_size: int = 2048
+    text_num_heads: int = 4
+    num_text_layers: int = 4
+    dropout: float = 0.0
+    efficient: bool = True
+    clip_config: ClipTextConfig = ClipTextConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.latent_dim * 4
+
+    def setup(self):
+        from hig_tpu.models.denoiser import MotionDenoiser
+
+        self.text = TextEncoder(
+            clip_config=self.clip_config,
+            text_latent_dim=self.text_latent_dim,
+            text_ff_size=self.text_ff_size,
+            text_num_heads=self.text_num_heads,
+            num_text_layers=self.num_text_layers,
+            time_embed_dim=self.time_embed_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+        )
+        self.denoiser = MotionDenoiser(
+            input_feats=self.input_feats,
+            num_frames=self.num_frames,
+            latent_dim=self.latent_dim,
+            ff_size=self.ff_size,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            text_latent_dim=self.text_latent_dim,
+            dropout=self.dropout,
+            efficient=self.efficient,
+            dtype=self.dtype,
+        )
+
+    def encode_text(self, tokens: jax.Array, deterministic: bool = True):
+        return self.text(tokens, deterministic)
+
+    def denoise(self, x, timesteps, lengths, xf_proj, xf_out, deterministic=True):
+        return self.denoiser(x, timesteps, lengths, xf_proj, xf_out, deterministic)
+
+    def __call__(self, x, timesteps, lengths, tokens, deterministic=True):
+        xf_proj, xf_out = self.encode_text(tokens, deterministic)
+        return self.denoise(x, timesteps, lengths, xf_proj, xf_out, deterministic)
+
+
 def model_from_config(
     cfg: ExperimentConfig, dtype=None, clip_config: ClipTextConfig | None = None
 ) -> InteractionModel:

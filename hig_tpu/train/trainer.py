@@ -241,6 +241,68 @@ def make_sampler(
 
 
 # --------------------------------------------------------------------------
+# single-person (MotionDiffuse-style) path
+# (ref: trainers/ddpm_trainer.py:29-266 — used for t2m/kit pretraining and
+#  the non-interaction visualization branch)
+# --------------------------------------------------------------------------
+
+
+def make_single_train_step(model, sched: g.DiffusionSchedule, tx) -> Callable:
+    """Plain masked-MSE diffusion training for a MotionDenoiser + TextEncoder
+    composite. batch: motion (B, T, D), lengths (B,), tokens (B, 77)."""
+
+    def loss_fn(params, batch, rng):
+        motion = batch["motion"]
+        B, T, _ = motion.shape
+        lengths = jnp.minimum(batch["lengths"], T)
+        t_rng, n_rng = jax.random.split(rng)
+        t = jax.random.randint(t_rng, (B,), 0, sched.num_timesteps)
+        noise = jax.random.normal(n_rng, motion.shape, motion.dtype)
+        x_t, target = g.training_targets(sched, motion, t, noise)
+        mask = (jnp.arange(T) < lengths[:, None]).astype(motion.dtype)
+        pred = model.apply(params, x_t, t, lengths, batch["tokens"])
+        per_tok = jnp.mean((pred - target) ** 2, axis=-1)
+        return jnp.sum(per_tok * mask) / jnp.sum(mask)
+
+    def train_step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            {"loss_mot_rec": loss},
+        )
+
+    return train_step
+
+
+def make_single_sampler(
+    model, sched: g.DiffusionSchedule, T: int, dim_pose: int,
+    sampler: str = "ddpm", ddim_steps: int = 50,
+) -> Callable:
+    """sample(params, tokens (B, 77), lengths, rng) → (B, T, dim_pose)."""
+
+    @jax.jit
+    def sample(params, tokens, lengths, rng):
+        B = tokens.shape[0]
+        xf_proj, xf_out = model.apply(params, tokens, method=model.__class__.encode_text)
+        lengths = jnp.minimum(lengths, T)
+
+        def denoiser(x, t):
+            return model.apply(
+                params, x, t, lengths, xf_proj, xf_out,
+                method=model.__class__.denoise,
+            )
+
+        shape = (B, T, dim_pose)
+        if sampler == "ddim":
+            return g.ddim_sample_loop(sched, denoiser, shape, rng, num_steps=ddim_steps)
+        return g.p_sample_loop(sched, denoiser, shape, rng)
+
+    return sample
+
+
+# --------------------------------------------------------------------------
 # host-side orchestration
 # --------------------------------------------------------------------------
 

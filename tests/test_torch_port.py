@@ -1,0 +1,274 @@
+"""Checkpoint-converter tests, including true numerical parity against
+torch's own nn.TransformerEncoderLayer (what the reference uses for the
+learnable text transformer and both evaluator models)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from hig_tpu.models.text_encoder import (
+    ClipResidualBlock, ClipTextConfig, PostLNEncoderLayer,
+)
+from hig_tpu.train import torch_port as tp
+
+
+class TestPostLNParityWithTorch:
+    @pytest.fixture()
+    def pair(self):
+        """Our PostLNEncoderLayer + a torch TransformerEncoderLayer with the
+        same (converted) weights."""
+        D, H, FF = 32, 4, 64
+        torch_layer = torch.nn.TransformerEncoderLayer(
+            d_model=D, nhead=H, dim_feedforward=FF, dropout=0.0,
+            activation="gelu", batch_first=True,
+        )
+        torch_layer.eval()
+        sd = {
+            f"L.{k}": v.detach().numpy() for k, v in torch_layer.state_dict().items()
+        }
+        params = {"params": tp._torch_encoder_layer(sd, "L")}
+        ours = PostLNEncoderLayer(d_model=D, heads=H, ff_size=FF, dropout=0.0)
+        return ours, params, torch_layer
+
+    def test_outputs_match(self, pair):
+        ours, params, torch_layer = pair
+        x = np.random.RandomState(0).randn(3, 11, 32).astype(np.float32)
+        got = np.asarray(ours.apply(params, jnp.asarray(x)))
+        want = torch_layer(torch.from_numpy(x)).detach().numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_key_padding_mask_matches(self, pair):
+        ours, params, torch_layer = pair
+        x = np.random.RandomState(1).randn(2, 9, 32).astype(np.float32)
+        keep = np.array(
+            [[1, 1, 1, 1, 1, 0, 0, 0, 0], [1, 1, 1, 1, 1, 1, 1, 1, 1]], np.float32
+        )
+        got = np.asarray(
+            ours.apply(params, jnp.asarray(x), key_mask=jnp.asarray(keep))
+        )
+        want = torch_layer(
+            torch.from_numpy(x),
+            src_key_padding_mask=torch.from_numpy(1 - keep).bool(),
+        ).detach().numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestClipBlockParityWithTorch:
+    def test_residual_block_matches_torch_equivalent(self):
+        """CLIP residual block: pre-LN MHA (causal) + QuickGELU MLP."""
+        D, H = 32, 4
+        ours = ClipResidualBlock(width=D, heads=H)
+        x = np.random.RandomState(0).randn(2, 7, D).astype(np.float32)
+        params = ours.init(jax.random.key(0), jnp.asarray(x))
+
+        ln1 = torch.nn.LayerNorm(D)
+        ln2 = torch.nn.LayerNorm(D)
+        attn = torch.nn.MultiheadAttention(D, H, batch_first=True)
+        fc = torch.nn.Linear(D, 4 * D)
+        proj = torch.nn.Linear(4 * D, D)
+
+        p = params["params"]
+        with torch.no_grad():
+            ln1.weight.copy_(torch.from_numpy(np.asarray(p["ln_1"]["scale"])))
+            ln1.bias.copy_(torch.from_numpy(np.asarray(p["ln_1"]["bias"])))
+            ln2.weight.copy_(torch.from_numpy(np.asarray(p["ln_2"]["scale"])))
+            ln2.bias.copy_(torch.from_numpy(np.asarray(p["ln_2"]["bias"])))
+            attn.in_proj_weight.copy_(
+                torch.from_numpy(np.asarray(p["attn"]["in_proj"]["kernel"]).T)
+            )
+            attn.in_proj_bias.copy_(
+                torch.from_numpy(np.asarray(p["attn"]["in_proj"]["bias"]))
+            )
+            attn.out_proj.weight.copy_(
+                torch.from_numpy(np.asarray(p["attn"]["out_proj"]["kernel"]).T)
+            )
+            attn.out_proj.bias.copy_(
+                torch.from_numpy(np.asarray(p["attn"]["out_proj"]["bias"]))
+            )
+            fc.weight.copy_(torch.from_numpy(np.asarray(p["mlp_fc"]["kernel"]).T))
+            fc.bias.copy_(torch.from_numpy(np.asarray(p["mlp_fc"]["bias"])))
+            proj.weight.copy_(torch.from_numpy(np.asarray(p["mlp_proj"]["kernel"]).T))
+            proj.bias.copy_(torch.from_numpy(np.asarray(p["mlp_proj"]["bias"])))
+
+        L = x.shape[1]
+        causal = torch.triu(torch.full((L, L), float("-inf")), diagonal=1)
+        xt = torch.from_numpy(x)
+        h = xt + attn(ln1(xt), ln1(xt), ln1(xt), attn_mask=causal, need_weights=False)[0]
+        m = ln2(h)
+        m = fc(m)
+        m = m * torch.sigmoid(1.702 * m)  # QuickGELU
+        want = (h + proj(m)).detach().numpy()
+
+        got = np.asarray(ours.apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestFullModelConversion:
+    def _fake_reference_sd(self, num_layers=2, num_text=1, clip_layers=2,
+                           d=16, text_d=8, ff=32, dim_pose=263, clip_w=16):
+        """Synthetic state_dict with the reference's exact key names."""
+        rng = np.random.RandomState(0)
+        sd = {}
+
+        def lin(name, i, o, bias=True):
+            sd[f"{name}.weight"] = rng.randn(o, i).astype(np.float32)
+            if bias:
+                sd[f"{name}.bias"] = rng.randn(o).astype(np.float32)
+
+        def ln(name, d_):
+            sd[f"{name}.weight"] = rng.randn(d_).astype(np.float32)
+            sd[f"{name}.bias"] = rng.randn(d_).astype(np.float32)
+
+        def styl(prefix, d_, e_):
+            lin(f"{prefix}.emb_layers.1", e_, 2 * d_)
+            ln(f"{prefix}.norm", d_)
+            lin(f"{prefix}.out_layers.2", d_, d_)
+
+        def attn(prefix, d_, e_, text_norm=False, kv=None):
+            kv = kv or d_
+            ln(f"{prefix}.norm", d_)
+            if text_norm:
+                ln(f"{prefix}.text_norm", kv)
+            lin(f"{prefix}.query", d_, d_)
+            lin(f"{prefix}.key", kv, d_)
+            lin(f"{prefix}.value", kv, d_)
+            styl(f"{prefix}.proj_out", d_, e_)
+
+        E = d * 4
+        # clip tower
+        sd["clip.token_embedding.weight"] = rng.randn(49408, clip_w).astype(np.float32)
+        sd["clip.positional_embedding"] = rng.randn(77, clip_w).astype(np.float32)
+        ln("clip.ln_final", clip_w)
+        for i in range(clip_layers):
+            rb = f"clip.transformer.resblocks.{i}"
+            sd[f"{rb}.attn.in_proj_weight"] = rng.randn(3 * clip_w, clip_w).astype(np.float32)
+            sd[f"{rb}.attn.in_proj_bias"] = rng.randn(3 * clip_w).astype(np.float32)
+            lin(f"{rb}.attn.out_proj", clip_w, clip_w)
+            ln(f"{rb}.ln_1", clip_w)
+            ln(f"{rb}.ln_2", clip_w)
+            lin(f"{rb}.mlp.c_fc", clip_w, 4 * clip_w)
+            lin(f"{rb}.mlp.c_proj", 4 * clip_w, clip_w)
+        # learnable text stack
+        lin("text_pre_proj", clip_w, text_d)
+        for i in range(num_text):
+            t = f"textTransEncoder.layers.{i}"
+            sd[f"{t}.self_attn.in_proj_weight"] = rng.randn(3 * text_d, text_d).astype(np.float32)
+            sd[f"{t}.self_attn.in_proj_bias"] = rng.randn(3 * text_d).astype(np.float32)
+            lin(f"{t}.self_attn.out_proj", text_d, text_d)
+            lin(f"{t}.linear1", text_d, 2 * text_d)
+            lin(f"{t}.linear2", 2 * text_d, text_d)
+            ln(f"{t}.norm1", text_d)
+            ln(f"{t}.norm2", text_d)
+        ln("text_ln", text_d)
+        lin("text_proj.0", text_d, E)
+        # denoiser
+        sd["sequence_embedding"] = rng.randn(32, d).astype(np.float32)
+        lin("joint_embed", dim_pose, d)
+        lin("joint_embed2", 4, d)
+        lin("time_embed.0", d, E)
+        lin("time_embed.2", E, E)
+        lin("out", d, dim_pose)
+        lin("out2", d, dim_pose)
+        for i in range(num_layers):
+            blk = f"temporal_decoder_blocks.{i}"
+            attn(f"{blk}.sa_block", d, E)
+            attn(f"{blk}.ca_block", d, E, text_norm=True, kv=text_d)
+            attn(f"{blk}.int_ca_block", d, E)
+            lin(f"{blk}.ffn.linear1", d, ff)
+            lin(f"{blk}.ffn.linear2", ff, d)
+            styl(f"{blk}.ffn.proj_out", d, E)
+        return sd
+
+    def test_conversion_covers_full_tree(self):
+        """Every initialized param leaf is overwritten by the conversion."""
+        from hig_tpu.models.interaction_model import InteractionModel
+
+        model = InteractionModel(
+            input_feats=263, num_frames=32, latent_dim=16, ff_size=32,
+            num_layers=2, num_heads=4, text_latent_dim=8, text_ff_size=16,
+            text_num_heads=2, num_text_layers=1,
+            clip_config=ClipTextConfig(width=16, heads=2, layers=2),
+        )
+        x = jnp.zeros((1, 2, 8, 263))
+        tokens = jnp.zeros((1, 2, 77), jnp.int32)
+        init = model.init(
+            jax.random.key(0), x, jnp.zeros((1,), jnp.int32),
+            jnp.full((1,), 8, jnp.int32), tokens,
+        )
+
+        sd = self._fake_reference_sd()
+        converted = tp.convert_interaction_model(
+            sd, num_layers=2, num_text_layers=1, clip_layers=2
+        )
+        merged = tp.merge_params(init["params"], converted)
+
+        # structure unchanged
+        assert jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(np.shape, merged)
+        ) == jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(np.shape, init["params"])
+        )
+        # every leaf actually changed (init ≠ random sd)
+        init_leaves = jax.tree_util.tree_leaves(init["params"])
+        merged_leaves = jax.tree_util.tree_leaves(merged)
+        changed = sum(
+            float(np.abs(np.asarray(a) - np.asarray(b)).sum()) > 0
+            for a, b in zip(init_leaves, merged_leaves)
+        )
+        assert changed == len(init_leaves)
+        # model runs with converted params
+        out = model.apply(
+            {"params": merged}, x, jnp.zeros((1,), jnp.int32),
+            jnp.full((1,), 8, jnp.int32), tokens,
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_partial_filters(self):
+        sd = self._fake_reference_sd()
+        lang = tp.convert_interaction_model(
+            sd, num_layers=2, num_text_layers=1, clip_layers=2, only_language=True
+        )
+        assert "denoiser" not in lang and "text" in lang
+        mot = tp.convert_interaction_model(
+            sd, num_layers=2, num_text_layers=1, clip_layers=2, only_motion=True
+        )
+        assert "text" not in mot and "denoiser" in mot
+
+    def test_motion_encoder_conversion(self):
+        from hig_tpu.models.eval_models import MotionEncoder
+
+        rng = np.random.RandomState(0)
+        d, ff, dim = 16, 32, 259
+        sd = {}
+
+        def lin(name, i, o):
+            sd[f"{name}.weight"] = rng.randn(o, i).astype(np.float32)
+            sd[f"{name}.bias"] = rng.randn(o).astype(np.float32)
+
+        sd["sequence_embedding"] = rng.randn(32, d).astype(np.float32)
+        lin("joint_embed1", dim, d)
+        lin("joint_embed2", 4, d)
+        for i in range(2):
+            t = f"motionTransEncoder.layers.{i}"
+            sd[f"{t}.self_attn.in_proj_weight"] = rng.randn(3 * d, d).astype(np.float32)
+            sd[f"{t}.self_attn.in_proj_bias"] = rng.randn(3 * d).astype(np.float32)
+            lin(f"{t}.self_attn.out_proj", d, d)
+            lin(f"{t}.linear1", d, ff)
+            lin(f"{t}.linear2", ff, d)
+            sd[f"{t}.norm1.weight"] = rng.randn(d).astype(np.float32)
+            sd[f"{t}.norm1.bias"] = rng.randn(d).astype(np.float32)
+            sd[f"{t}.norm2.weight"] = rng.randn(d).astype(np.float32)
+            sd[f"{t}.norm2.bias"] = rng.randn(d).astype(np.float32)
+        lin("out1", d, d)
+        lin("out2", d, d)
+        lin("fin_proj.0", d, 26)
+
+        model = MotionEncoder(input_feats=dim, num_frames=32, latent_dim=d,
+                              ff_size=ff, num_layers=2, num_heads=4)
+        x = jnp.zeros((1, 2, 8, dim))
+        init = model.init(jax.random.key(0), x, jnp.full((1,), 8, jnp.int32))
+        merged = tp.merge_params(init["params"], tp.convert_motion_encoder(sd, 2))
+        logits, emb = model.apply({"params": merged}, x, jnp.full((1,), 8, jnp.int32))
+        assert logits.shape == (1, 26)
