@@ -5,10 +5,15 @@ pairs) running the full 1000-step DDPM ancestral sampler as one fused
 lax.scan, and reports sampled motion frames/sec/chip.
 
 ``vs_baseline`` is measured, not quoted: the same model and shapes driven
-the way the reference drives them — a host-synced per-step Python sampling
-loop (gaussian_diffusion.py:747-769 semantics) on this same chip — is timed
-alongside, and the ratio reported. (The repo publishes no numbers to quote —
+the way the reference drives them — a host-synced per-step sampling loop
+(gaussian_diffusion.py:747-769 semantics) on this same chip — timed over a
+50-step probe and scaled. (The repo publishes no numbers to quote —
 BASELINE.md.)
+
+Environment notes (see .claude/skills/verify/SKILL.md): params must be jit
+*arguments* (closing over them embeds them as constants and overflows the
+remote-compile request); timings use a true host readback as the sync
+point because block_until_ready on this backend returns early.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -22,7 +27,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(x) -> float:
+    """True synchronization: force a device→host readback."""
+    return float(jnp.sum(x))
+
+
 def main():
+    from hig_tpu.utils.cache import enable as enable_cache
+
+    enable_cache()
     from hig_tpu.diffusion import gaussian as g
     from hig_tpu.models.interaction_model import InteractionModel
     from hig_tpu.models.tokenizer import tokenize
@@ -37,55 +50,69 @@ def main():
     tokens = jnp.asarray(
         np.stack([np.stack([tokenize(c1)[0], tokenize(c2)[0]])] * B), jnp.int32
     )
-    params = model.init(jax.random.key(0), x0, t0_, lengths, tokens)
+    # init on host CPU (fast), then one bulk transfer to the chip
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = jax.jit(model.init, backend="cpu")(
+            jax.random.key(0), x0, t0_, lengths, tokens
+        )
+    params = jax.device_put(params, jax.devices()[0])
     sched = g.make_schedule(g.linear_betas(1000))
 
-    xf_proj, xf_out = model.apply(
-        params, tokens, True, method=InteractionModel.encode_text
-    )
+    @jax.jit
+    def encode(params, tokens):
+        return model.apply(params, tokens, True, method=InteractionModel.encode_text)
 
-    def denoiser(x, t):
-        return model.apply(
-            params, x, t, lengths, xf_proj, xf_out, True,
-            method=InteractionModel.denoise,
-        )
+    xf_proj, xf_out = encode(params, tokens)
 
     shape = (B, 2, T, D)
     frames = B * 2 * (T - 1)
 
     # --- fused scan sampler (ours) -----------------------------------------
-    fused = jax.jit(lambda rng: g.p_sample_loop(sched, denoiser, shape, rng))
-    fused(jax.random.key(0)).block_until_ready()  # compile
-    t0 = time.time()
+    @jax.jit
+    def fused(params, xf_proj, xf_out, rng):
+        def denoiser(x, t):
+            return model.apply(
+                params, x, t, lengths, xf_proj, xf_out, True,
+                method=InteractionModel.denoise,
+            )
+
+        return g.p_sample_loop(sched, denoiser, shape, rng)
+
+    _sync(fused(params, xf_proj, xf_out, jax.random.key(0)))  # compile
     reps = 3
+    t0 = time.time()
     for i in range(reps):
-        fused(jax.random.key(i + 1)).block_until_ready()
+        _sync(fused(params, xf_proj, xf_out, jax.random.key(i + 1)))
     fused_time = (time.time() - t0) / reps
     fused_fps = frames / fused_time
 
     # --- reference-style host loop on the same chip ------------------------
-    # one jitted p_sample step, driven from Python with a host sync per step
-    # (how the reference's sampler executes), timed over 50 steps and scaled.
     @jax.jit
-    def one_step(x, t_scalar, rng):
+    def one_step(params, xf_proj, xf_out, x, t_scalar, rng):
         t = jnp.full((B,), t_scalar, jnp.int32)
-        eps = denoiser(x, t)
+        eps = model.apply(
+            params, x, t, lengths, xf_proj, xf_out, True,
+            method=InteractionModel.denoise,
+        )
         mean, log_var, _ = g.p_mean_variance(sched, eps, x, t)
         z = jax.random.normal(rng, x.shape, x.dtype)
         nz = (t_scalar != 0).astype(x.dtype)
         return mean + nz * jnp.exp(0.5 * log_var) * z
 
     x = jax.random.normal(jax.random.key(0), shape)
-    x = one_step(x, jnp.asarray(999), jax.random.key(1))
-    x.block_until_ready()  # compile
-    probe_steps = 50
-    t0 = time.time()
+    x = one_step(params, xf_proj, xf_out, x, jnp.asarray(999), jax.random.key(1))
+    _sync(x)  # compile
+    probe_steps = 60
     rng = jax.random.key(2)
+    step_times = []
     for i in range(probe_steps):
         rng, sub = jax.random.split(rng)
-        x = one_step(x, jnp.asarray(999 - i), sub)
+        t0 = time.time()
+        x = one_step(params, xf_proj, xf_out, x, jnp.asarray(999 - i), sub)
         float(x[0, 0, 0, 0])  # host sync each step, as the reference does
-    loop_time = (time.time() - t0) / probe_steps * 1000
+        step_times.append(time.time() - t0)
+    # median per-step time × 1000 steps (tunnel sync latency is heavy-tailed)
+    loop_time = float(np.median(step_times)) * 1000
     loop_fps = frames / loop_time
 
     result = {

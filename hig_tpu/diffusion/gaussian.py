@@ -205,6 +205,27 @@ def p_mean_variance(
 Denoiser = Callable[[jax.Array, jax.Array], jax.Array]
 
 
+def condition_mean(sched, cond_fn, mean, var, x, t) -> jax.Array:
+    """Sohl-Dickstein classifier-guidance shift of the posterior mean.
+
+    (ref: gaussian_diffusion.py:567-580)
+    """
+    return mean + var * cond_fn(x, t)
+
+
+def condition_score(sched, cond_fn, pred_xstart, x, t):
+    """Song et al. score conditioning: shift ε by −√(1−ᾱ)·∇logp(y|x).
+
+    Returns the updated (mean, pred_xstart). (ref: gaussian_diffusion.py:582-604)
+    """
+    alpha_bar = _extract(sched.alphas_cumprod, t, x.ndim)
+    eps = predict_eps_from_xstart(sched, x, t, pred_xstart)
+    eps = eps - jnp.sqrt(1 - alpha_bar) * cond_fn(x, t)
+    new_xstart = predict_xstart_from_eps(sched, x, t, eps)
+    mean, _, _ = q_posterior_mean_variance(sched, new_xstart, x, t)
+    return mean, new_xstart
+
+
 def p_sample_loop(
     sched: DiffusionSchedule,
     model: Denoiser,
@@ -214,13 +235,25 @@ def p_sample_loop(
     clip_denoised: bool = False,
     mean_type: MeanType = MeanType.EPSILON,
     var_type: VarType = VarType.FIXED_SMALL,
+    cond_fn: Callable | None = None,
+    pre_seq: jax.Array | None = None,
+    pre_seq_len: int = 0,
+    transl_req: list | None = None,
     dtype=jnp.float32,
 ) -> jax.Array:
     """Ancestral (DDPM) sampler as one fused lax.scan over timesteps.
 
     Replaces the reference's 1000-iteration Python loop with per-step host
     sync (gaussian_diffusion.py:668-769). ``model(x, t_batch)`` must be
-    shape-preserving; all conditioning is closed over.
+    shape-preserving; all conditioning is closed over. Optional hooks mirror
+    the reference's (unused-in-NTU) controls:
+
+    * ``cond_fn(x, t) -> grad`` — classifier guidance (ref :661-664)
+    * ``pre_seq``/``pre_seq_len`` — motion-prefix inpainting: the first
+      ``pre_seq_len`` tokens are re-noised from ``pre_seq`` every step
+      (ref :636-640, time-leading layout here)
+    * ``transl_req`` — [(frame_idx, x, z), ...] root-trajectory pins
+      (ref :642-647); requires a (B, T, D) shape.
     """
     rng, init_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, shape, dtype) if noise is None else noise
@@ -228,12 +261,31 @@ def p_sample_loop(
 
     def step(carry, t_scalar):
         x, rng = carry
-        rng, noise_rng = jax.random.split(rng)
+        rng, noise_rng, pre_rng = jax.random.split(rng, 3)
         t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+        if pre_seq is not None and pre_seq_len > 0:
+            re_noised = q_sample(
+                sched, pre_seq, t, jax.random.normal(pre_rng, pre_seq.shape, dtype)
+            )
+            x = jnp.concatenate(
+                [re_noised[..., :pre_seq_len, :], x[..., pre_seq_len:, :]], axis=-2
+            )
+        if transl_req is not None:
+            for frame_idx, tx, tz in transl_req:
+                target = jnp.asarray([tx, tz], dtype)
+                noised = q_sample(
+                    sched,
+                    jnp.broadcast_to(target, (batch, 2)),
+                    t,
+                    jax.random.normal(pre_rng, (batch, 2), dtype),
+                )
+                x = x.at[:, frame_idx, 1:3].set(noised)
         eps = model(x, t)
-        mean, log_var, _ = p_mean_variance(
+        mean, log_var, pred_xstart = p_mean_variance(
             sched, eps, x, t, mean_type, var_type, clip_denoised
         )
+        if cond_fn is not None:
+            mean = condition_mean(sched, cond_fn, mean, jnp.exp(log_var), x, t)
         z = jax.random.normal(noise_rng, x.shape, x.dtype)
         nonzero = (t_scalar != 0).astype(x.dtype)
         x = mean + nonzero * jnp.exp(0.5 * log_var) * z
@@ -304,6 +356,115 @@ def ddim_sample_loop(
     pairs = jnp.stack([jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy())], axis=-1)
     (x, _), _ = jax.lax.scan(step, (x, rng), pairs)
     return x
+
+
+def normal_kl(mean1, logvar1, mean2, logvar2):
+    """KL between two diagonal Gaussians, in nats.
+
+    (ref: gaussian_diffusion.py:163-186)
+    """
+    return 0.5 * (
+        -1.0
+        + logvar2
+        - logvar1
+        + jnp.exp(logvar1 - logvar2)
+        + ((mean1 - mean2) ** 2) * jnp.exp(-logvar2)
+    )
+
+
+def _approx_standard_normal_cdf(x):
+    return 0.5 * (1.0 + jnp.tanh(jnp.sqrt(2.0 / jnp.pi) * (x + 0.044715 * x**3)))
+
+
+def discretized_gaussian_log_likelihood(x, means, log_scales):
+    """Log-likelihood of a Gaussian discretized to [-1, 1] 8-bit bins.
+
+    (ref: gaussian_diffusion.py:189-226)
+    """
+    centered_x = x - means
+    inv_stdv = jnp.exp(-log_scales)
+    plus_in = inv_stdv * (centered_x + 1.0 / 255.0)
+    cdf_plus = _approx_standard_normal_cdf(plus_in)
+    min_in = inv_stdv * (centered_x - 1.0 / 255.0)
+    cdf_min = _approx_standard_normal_cdf(min_in)
+    log_cdf_plus = jnp.log(jnp.clip(cdf_plus, 1e-12, None))
+    log_one_minus_cdf_min = jnp.log(jnp.clip(1.0 - cdf_min, 1e-12, None))
+    cdf_delta = cdf_plus - cdf_min
+    return jnp.where(
+        x < -0.999,
+        log_cdf_plus,
+        jnp.where(
+            x > 0.999, log_one_minus_cdf_min, jnp.log(jnp.clip(cdf_delta, 1e-12, None))
+        ),
+    )
+
+
+def vb_terms_bpd(
+    sched: DiffusionSchedule,
+    model_output: jax.Array,
+    x_start: jax.Array,
+    x_t: jax.Array,
+    t: jax.Array,
+    clip_denoised: bool = False,
+):
+    """Variational-bound term for one timestep, bits-per-dim.
+
+    (ref: gaussian_diffusion.py:943-976). Returns (output, pred_xstart).
+    """
+    true_mean, _, true_log_var = q_posterior_mean_variance(sched, x_start, x_t, t)
+    mean, log_var, pred_xstart = p_mean_variance(
+        sched, model_output, x_t, t, clip_denoised=clip_denoised
+    )
+    kl = normal_kl(true_mean, true_log_var, mean, log_var)
+    axes = tuple(range(1, kl.ndim))
+    kl = jnp.mean(kl, axis=axes) / jnp.log(2.0)
+    decoder_nll = -discretized_gaussian_log_likelihood(x_start, mean, 0.5 * log_var)
+    decoder_nll = jnp.mean(decoder_nll, axis=axes) / jnp.log(2.0)
+    output = jnp.where(t == 0, decoder_nll, kl)
+    return output, pred_xstart
+
+
+def prior_bpd(sched: DiffusionSchedule, x_start: jax.Array) -> jax.Array:
+    """KL(q(x_T | x_0) ‖ N(0, I)) in bits/dim. (ref: gaussian_diffusion.py:1061-1077)"""
+    batch = x_start.shape[0]
+    t = jnp.full((batch,), sched.num_timesteps - 1, jnp.int32)
+    mean = _extract(sched.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
+    log_var = _extract(sched.log_one_minus_alphas_cumprod, t, x_start.ndim)
+    kl = normal_kl(mean, log_var, jnp.zeros_like(mean), jnp.zeros_like(log_var))
+    return jnp.mean(kl, axis=tuple(range(1, kl.ndim))) / jnp.log(2.0)
+
+
+def calc_bpd_loop(
+    sched: DiffusionSchedule, model: Denoiser, x_start: jax.Array, rng: jax.Array,
+    clip_denoised: bool = False,
+):
+    """Total bits/dim over all timesteps as a lax.scan.
+
+    (ref: gaussian_diffusion.py:1079-1134). Returns dict with total_bpd,
+    prior_bpd, vb (T, B), mse (T, B).
+    """
+    batch = x_start.shape[0]
+
+    def step(rng, t_scalar):
+        rng, noise_rng = jax.random.split(rng)
+        t = jnp.full((batch,), t_scalar, jnp.int32)
+        noise = jax.random.normal(noise_rng, x_start.shape, x_start.dtype)
+        x_t = q_sample(sched, x_start, t, noise)
+        out = model(x_t, t)
+        vb, pred_xstart = vb_terms_bpd(sched, out, x_start, x_t, t, clip_denoised)
+        eps = predict_eps_from_xstart(sched, x_t, t, pred_xstart)
+        mse = jnp.mean((eps - noise) ** 2, axis=tuple(range(1, noise.ndim)))
+        return rng, (vb, mse)
+
+    timesteps = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    rng, (vb, mse) = jax.lax.scan(step, rng, timesteps)
+    total = jnp.sum(vb, axis=0) + prior_bpd(sched, x_start)
+    return {
+        "total_bpd": total,
+        "prior_bpd": prior_bpd(sched, x_start),
+        "vb": vb,
+        "mse": mse,
+    }
 
 
 def training_targets(

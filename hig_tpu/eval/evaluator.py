@@ -105,17 +105,18 @@ def generate_test_set(
 def make_embedder(encoder, enc_params, consistency, cons_params):
     """Returns embed(motions (B,2,91,D), lengths) → (logits, emb, cons_logits).
 
-    Foot-contact channels are stripped (evaluator.py:488-489).
+    Foot-contact channels are stripped (evaluator.py:488-489). Params are
+    jit arguments, not closures (closures embed them as HLO constants).
     """
 
     @jax.jit
-    def embed(motion, lengths):
+    def embed(enc_p, cons_p, motion, lengths):
         x = motion[..., :-4]
-        logits, emb = encoder.apply(enc_params, x, lengths)
-        cons = consistency.apply(cons_params, x, lengths)
+        logits, emb = encoder.apply(enc_p, x, lengths)
+        cons = consistency.apply(cons_p, x, lengths)
         return logits, emb, cons
 
-    return embed
+    return lambda motion, lengths: embed(enc_params, cons_params, motion, lengths)
 
 
 def _batched_embeddings(embed_fn, items: list[dict], rng: np.random.Generator):

@@ -1,0 +1,119 @@
+"""Pallas TPU kernels for the attention hot path.
+
+The denoiser's dominant op is MotionDiffuse "efficient attention"
+(softmax over features for Q, masked softmax over time for K, then
+(KᵀV) → Q·(KV); see hig_tpu/models/attention.py). XLA fuses the einsums
+well, but the full block still materializes four (N, T, H, hd)
+intermediates in HBM per call; this kernel keeps the whole per-(batch,
+head) computation resident in VMEM — one HBM read per operand, one write
+per output.
+
+Differentiability: the kernel carries a custom VJP whose backward pass is
+the einsum formulation's VJP, so the fused forward drops into training
+too. Numerical parity with the einsum path is tested in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _einsum_reference(q, k, v, mask):
+    """The einsum formulation (attention.py:efficient_attention) on
+    (N, T, H, hd) tensors; mask (N, Tk) or None."""
+    if mask is not None:
+        k = k + (1.0 - mask)[:, :, None, None] * -1000000.0
+        v = v * mask[:, :, None, None]
+    q = jax.nn.softmax(q, axis=-1)
+    k = jax.nn.softmax(k, axis=1)
+    att = jnp.einsum("nkhd,nkhl->nhdl", k, v)
+    return jnp.einsum("nqhd,nhdl->nqhl", q, att)
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+    q = q_ref[0, :, 0, :]
+    k = k_ref[0, :, 0, :]
+    v = v_ref[0, :, 0, :]
+    mask = mask_ref[0, :]
+    k = k + (1.0 - mask)[:, None] * -1000000.0
+    v = v * mask[:, None]
+    q = jax.nn.softmax(q, axis=-1)
+    k = jax.nn.softmax(k, axis=0)
+    att = jnp.dot(k.T, v, preferred_element_type=jnp.float32)
+    y = jnp.dot(q, att.astype(q.dtype), preferred_element_type=jnp.float32)
+    o_ref[0, :, 0, :] = y.astype(o_ref.dtype)
+
+
+def _pallas_impl(q, k, v, mask, interpret=False):
+    N, Tq, H, hd = q.shape
+    Tk = k.shape[1]
+    grid = (N, H)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((N, Tq, H, hd), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Tq, 1, hd), lambda n, h: (n, 0, h, 0)),
+            pl.BlockSpec((1, Tk, 1, hd), lambda n, h: (n, 0, h, 0)),
+            pl.BlockSpec((1, Tk, 1, hd), lambda n, h: (n, 0, h, 0)),
+            pl.BlockSpec((1, Tk), lambda n, h: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Tq, 1, hd), lambda n, h: (n, 0, h, 0)),
+        interpret=interpret,
+    )(q, k, v, mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused(q, k, v, mask, interpret):
+    return _pallas_impl(q, k, v, mask, interpret)
+
+
+def _fused_fwd(q, k, v, mask, interpret):
+    return _pallas_impl(q, k, v, mask, interpret), (q, k, v, mask)
+
+
+def _fused_bwd(interpret, residuals, g):
+    q, k, v, mask = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: _einsum_reference(q_, k_, v_, mask), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_efficient_attention(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    num_heads: int,
+    key_mask: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Drop-in fused replacement for attention.efficient_attention.
+
+    query (..., Tq, D); key/value (..., Tk, D); key_mask (..., Tk).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    D = query.shape[-1]
+    hd = D // num_heads
+    lead = query.shape[:-2]
+    Tq, Tk = query.shape[-2], key.shape[-2]
+    N = 1
+    for s in lead:
+        N *= s
+    q = query.reshape(N, Tq, num_heads, hd)
+    k = key.reshape(N, Tk, num_heads, hd)
+    v = value.reshape(N, Tk, num_heads, hd)
+    if key_mask is None:
+        mask = jnp.ones((N, Tk), q.dtype)
+    else:
+        mask = jnp.broadcast_to(key_mask, lead + (Tk,)).reshape(N, Tk).astype(q.dtype)
+    out = _fused(q, k, v, mask, interpret)
+    return out.reshape(lead + (Tq, D))

@@ -34,7 +34,7 @@ class EvalTrainState:
 
 
 def _make_state(model, tx, sample_x, sample_len, seed):
-    params = model.init(jax.random.key(seed), sample_x, sample_len)
+    params = jax.jit(model.init)(jax.random.key(seed), sample_x, sample_len)
     return EvalTrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
@@ -116,6 +116,7 @@ class EvalModelTrainer:
             if kind == "classifier"
             else make_consistency_step(self.model, self.tx)
         )
+        self._apply = jax.jit(self.model.apply)
 
     def init_state(self) -> EvalTrainState:
         T = self.cfg.window_size + 1
@@ -140,9 +141,9 @@ class EvalModelTrainer:
                 accs.append(float(metrics["acc"]))
             else:
                 if self.kind == "classifier":
-                    logits, _ = self.model.apply(state.params, motion, lengths)
+                    logits, _ = self._apply(state.params, motion, lengths)
                 else:
-                    logits = self.model.apply(state.params, motion, lengths)
+                    logits = self._apply(state.params, motion, lengths)
                 accs.append(
                     float(jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32)))
                 )

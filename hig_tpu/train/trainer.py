@@ -327,7 +327,7 @@ class Trainer:
             cond = jnp.zeros((1, 2), jnp.int32)
         else:
             cond = jnp.zeros((1, 2, 77), jnp.int32)
-        params = self.model.init(rng, x, t, lengths, cond)
+        params = jax.jit(self.model.init)(rng, x, t, lengths, cond)
         self.tx = make_optimizer(self.cfg, params)
         return TrainState(
             params=params, opt_state=self.tx.init(params), step=jnp.zeros((), jnp.int32)
@@ -339,7 +339,9 @@ class Trainer:
         from hig_tpu.models.tokenizer import tokenize
 
         tokens = jnp.asarray(tokenize(CAPS))
-        feats = self.model.apply(params, tokens, method=InteractionModel.clip_tower)
+        feats = jax.jit(
+            lambda p, tk: self.model.apply(p, tk, method=InteractionModel.clip_tower)
+        )(params, tokens)
         return np.asarray(feats), np.asarray(tokenize(CAPS))
 
     def train(self, dataset, state: TrainState, num_epochs=None, log=print):

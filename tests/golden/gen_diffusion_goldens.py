@@ -84,5 +84,9 @@ out["p_mean"] = pmv["mean"].numpy()
 out["p_logvar"] = pmv["log_variance"].numpy()
 out["p_pred_xstart"] = pmv["pred_xstart"].numpy()
 
+vb = diff._vb_terms_bpd(FakeModel(), x0_t, x_t, t_t, clip_denoised=False)
+out["vb_output"] = vb["output"].numpy()
+out["prior_bpd"] = diff._prior_bpd(x0_t).numpy()
+
 np.savez_compressed("tests/golden/diffusion.npz", **out)
 print("wrote tests/golden/diffusion.npz with", len(out), "arrays")

@@ -112,6 +112,48 @@ class TestSamplers:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestVLBAndGuidance:
+    def test_vb_terms_match_reference(self, sched):
+        x_t = g.q_sample(sched, GOLD["x0"], GOLD["t"], GOLD["noise"])
+        out, _ = g.vb_terms_bpd(sched, jnp.asarray(GOLD["eps_pred"]), GOLD["x0"], x_t, GOLD["t"])
+        np.testing.assert_allclose(np.asarray(out), GOLD["vb_output"], rtol=2e-3, atol=1e-4)
+
+    def test_prior_bpd_matches_reference(self, sched):
+        out = g.prior_bpd(sched, jnp.asarray(GOLD["x0"]))
+        np.testing.assert_allclose(np.asarray(out), GOLD["prior_bpd"], rtol=1e-4)
+
+    def test_calc_bpd_loop_runs(self):
+        small = g.make_schedule(g.linear_betas(100))
+        x0 = jnp.zeros((2, 4, 3))
+        model = lambda x, t: jnp.zeros_like(x)
+        out = jax.jit(lambda r: g.calc_bpd_loop(small, model, x0, r))(jax.random.key(0))
+        assert out["vb"].shape == (100, 2)
+        assert np.isfinite(np.asarray(out["total_bpd"])).all()
+
+    def test_classifier_guidance_shifts_samples(self, sched):
+        x0 = jnp.zeros((2, 4, 3))
+        model = lambda x, t: (x - g._extract(sched.sqrt_alphas_cumprod, t, x.ndim) * x0) / g._extract(sched.sqrt_one_minus_alphas_cumprod, t, x.ndim)
+        target = 2.0
+        cond = lambda x, t: 50.0 * (target - x)  # pull samples toward +2
+        base = g.p_sample_loop(sched, model, x0.shape, jax.random.key(0))
+        guided = g.p_sample_loop(sched, model, x0.shape, jax.random.key(0), cond_fn=cond)
+        # a perfect denoiser pulls back toward x0 each step, so the residual
+        # shift is small but must be decisively positive vs the unguided run
+        assert float(jnp.mean(guided)) > float(jnp.mean(base)) + 1e-3
+
+    def test_prefix_inpainting_pins_tokens(self, sched):
+        """With an identity-ish (ε=0) denoiser, the re-noised prefix flows
+        through the final t=0 step nearly unchanged (q_sample at t=0 is
+        almost exact), while the free region stays diffused noise."""
+        model = lambda x, t: jnp.zeros_like(x)
+        pre = jnp.full((2, 6, 3), 3.0)
+        out = g.p_sample_loop(
+            sched, model, (2, 6, 3), jax.random.key(0), pre_seq=pre, pre_seq_len=2
+        )
+        np.testing.assert_allclose(np.asarray(out[:, :2]), 3.0, atol=0.5)
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestTimestepSamplers:
     def test_uniform(self):
         from hig_tpu.diffusion import timestep_samplers as ts

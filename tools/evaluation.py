@@ -40,10 +40,10 @@ def load_eval_models(cfg, eval_dir, cons_dir):
     x = jnp.zeros((1, 2, T, cfg.dim_pose - 4))
     lengths = jnp.full((1,), T, jnp.int32)
     enc_params = ckpt.restore_params(
-        pjoin(eval_dir, "best_eval_model"), enc.init(jax.random.key(0), x, lengths)
+        pjoin(eval_dir, "best_eval_model"), jax.jit(enc.init)(jax.random.key(0), x, lengths)
     )
     cons_params = ckpt.restore_params(
-        pjoin(cons_dir, "best_eval_model"), cons.init(jax.random.key(0), x, lengths)
+        pjoin(cons_dir, "best_eval_model"), jax.jit(cons.init)(jax.random.key(0), x, lengths)
     )
     return enc, enc_params, cons, cons_params
 

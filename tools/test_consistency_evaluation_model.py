@@ -36,13 +36,14 @@ def main():
     )
     T = cfg.window_size + 1
     x = jnp.zeros((1, 2, T, cfg.dim_pose - 4))
-    init_params = model.init(jax.random.key(0), x, jnp.full((1,), T, jnp.int32))
+    init_params = jax.jit(model.init)(jax.random.key(0), x, jnp.full((1,), T, jnp.int32))
     params = ckpt.restore_params(pjoin(cfg.model_dir, "best_eval_model"), init_params)
 
+    apply = jax.jit(model.apply)
     correct, total = 0, 0
     per_class = defaultdict(lambda: [0, 0])
     for batch in epoch_batches(ds, cfg.batch_size, 0, shuffle=False, drop_last=False):
-        logits = model.apply(
+        logits = apply(
             params, jnp.asarray(batch["motion"][..., :-4]), jnp.asarray(batch["lengths"])
         )
         pred = np.asarray(jnp.argmax(logits, -1))

@@ -38,12 +38,13 @@ def main():
     )
     T = cfg.window_size + 1
     x = jnp.zeros((1, 2, T, cfg.dim_pose - 4))
-    init_params = enc.init(jax.random.key(0), x, jnp.full((1,), T, jnp.int32))
+    init_params = jax.jit(enc.init)(jax.random.key(0), x, jnp.full((1,), T, jnp.int32))
     params = ckpt.restore_params(pjoin(cfg.model_dir, "best_eval_model"), init_params)
 
+    apply = jax.jit(enc.apply)
     preds, gts = [], []
     for batch in epoch_batches(ds, cfg.batch_size, 0, shuffle=False, drop_last=False):
-        logits, _ = enc.apply(
+        logits, _ = apply(
             params, jnp.asarray(batch["motion"][..., :-4]), jnp.asarray(batch["lengths"])
         )
         preds.extend(np.asarray(jnp.argmax(logits, -1)).tolist())

@@ -36,7 +36,12 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--gif", action="store_true", default=True)
     parser.add_argument("--no-gif", dest="gif", action="store_false")
+    parser.add_argument("--single", action="store_true",
+                        help="single-person model (ref visualization.py non-interaction branch)")
     args = parser.parse_args()
+
+    if args.single:
+        return run_single(args)
 
     cfg = load_opt_txt(args.opt_path, is_train=False)
     if args.class_id is not None:
@@ -83,6 +88,55 @@ def main():
             stem + ".gif", T2M_KINEMATIC_CHAIN, joints[0], joints[1],
             title=caption1,
         )
+        print(f"wrote {stem}.gif")
+
+
+def run_single(args):
+    """Single-person sampling + decode (ref: visualization.py:60-84)."""
+    import jax
+
+    from hig_tpu.config import load_opt_txt
+    from hig_tpu.models.interaction_model import SingleMotionModel
+    from hig_tpu.train import checkpoint as ckpt
+    from hig_tpu.train.trainer import make_single_sampler
+    from hig_tpu.diffusion import gaussian as g
+    from hig_tpu.utils.motion_codec import recover_from_ric
+
+    cfg = load_opt_txt(args.opt_path, is_train=False)
+    caption = args.caption1 or "a person walks forward"
+    mean, std = load_stats(cfg, for_training=False)
+
+    model = SingleMotionModel(
+        input_feats=cfg.dim_pose, num_frames=cfg.max_motion_length,
+        latent_dim=cfg.latent_dim, ff_size=cfg.ff_size,
+        num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+        text_latent_dim=cfg.text_latent_dim, text_ff_size=cfg.text_ff_size,
+        text_num_heads=cfg.text_num_heads, num_text_layers=cfg.num_text_layers,
+    )
+    T = args.motion_length
+    x = jnp.zeros((1, T, cfg.dim_pose))
+    tokens = jnp.asarray(tokenize([caption]))
+    init = jax.jit(model.init)(
+        jax.random.key(0), x, jnp.zeros((1,), np.int32),
+        jnp.full((1,), T, np.int32), tokens,
+    )
+    restored = ckpt.restore_params(pjoin(cfg.model_dir, args.which_epoch), init)
+    sched = g.make_schedule(g.named_betas("linear", cfg.diffusion_steps))
+    sample = make_single_sampler(model, sched, T=T, dim_pose=cfg.dim_pose,
+                                 sampler=cfg.sampler, ddim_steps=cfg.ddim_steps)
+    out = np.asarray(
+        sample(restored, tokens, jnp.full((1,), T, np.int32), jax.random.key(args.seed))
+    )[0]
+    denorm = out * std[: cfg.dim_pose] + mean[: cfg.dim_pose]
+    joints = np.asarray(recover_from_ric(jnp.asarray(denorm), cfg.joints_num))
+    os.makedirs(args.result_path, exist_ok=True)
+    stem = pjoin(args.result_path, f"single_s{args.seed}")
+    np.save(stem + ".npy", joints)
+    print(f"wrote {stem}.npy {joints.shape}")
+    if args.gif:
+        from hig_tpu.viz.plot import plot_3d_motion
+
+        plot_3d_motion(stem + ".gif", T2M_KINEMATIC_CHAIN, joints, title=caption)
         print(f"wrote {stem}.gif")
 
 
