@@ -67,6 +67,24 @@ def t2m_spec() -> CodecSpec:
     )
 
 
+def kit_spec() -> CodecSpec:
+    """KIT-ML 21-joint skeleton (dim_pose 251; ref motion_process.py:507-533)."""
+    from hig_tpu.utils.kinematics import (
+        KIT_FACE_JOINT_INDICES, KIT_FID_L, KIT_FID_R, KIT_KINEMATIC_CHAIN,
+        KIT_LOWER_LEG_INDICES, KIT_RAW_OFFSETS,
+    )
+
+    return CodecSpec(
+        raw_offsets=jnp.asarray(KIT_RAW_OFFSETS),
+        chains=tuple(tuple(c) for c in KIT_KINEMATIC_CHAIN),
+        face_joint_idx=tuple(KIT_FACE_JOINT_INDICES),
+        fid_r=tuple(KIT_FID_R),
+        fid_l=tuple(KIT_FID_L),
+        lower_leg_idx=KIT_LOWER_LEG_INDICES,
+        joints_num=21,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Encoding (joints → features)
 # ---------------------------------------------------------------------------

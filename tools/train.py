@@ -25,6 +25,12 @@ from hig_tpu.data.dataset import PairDataset
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_args(parser)
+    parser.add_argument(
+        "--pretrained_path", type=str,
+        default="checkpoints/t2m/t2m_motiondiffuse/model/latest.tar",
+        help="reference torch checkpoint for --pretrained transfer "
+             "(ref tools/train.py:48-50)",
+    )
     args = parser.parse_args()
     cfg = config_from_args(args, is_train=True)
 
@@ -44,6 +50,24 @@ def main():
 
     trainer = Trainer(cfg)
     state = trainer.init_state()
+    if cfg.pretrained:
+        import dataclasses as _dc
+
+        from hig_tpu.train import torch_port as tp
+
+        sd = tp.load_torch_state_dict(args.pretrained_path)
+        converted = tp.convert_interaction_model(
+            sd,
+            num_layers=cfg.num_layers,
+            num_text_layers=cfg.num_text_layers,
+            interaction=not cfg.no_cross_attn,
+            cap_id=cfg.cap_id,
+            only_language=cfg.only_language,
+            only_motion=cfg.only_motion,
+        )
+        merged = tp.merge_params(state.params["params"], converted)
+        state = _dc.replace(state, params={**state.params, "params": merged})
+        print(f"loaded pretrained weights from {args.pretrained_path}")
     if cfg.is_continue:
         state, epoch, it = ckpt.restore_state(pjoin(cfg.model_dir, "latest"), state)
         print(f"resumed from epoch {epoch}, it {it}")
