@@ -84,6 +84,11 @@ class ExperimentConfig:
 
     # TPU-native additions
     seed: int = 0
+    # Pallas fused attention: 2.8x faster than the einsum core in isolation,
+    # but the (N·H, T, hd) relayout breaks XLA fusion with the surrounding
+    # projections — measured slower end-to-end inside the denoiser. Keep off
+    # unless the kernel grows to swallow the QKV/out projections.
+    use_pallas: bool = False
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     window_size: int = 90  # training window frames (ref: mul_dataset.py:186)

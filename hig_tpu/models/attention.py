@@ -27,6 +27,14 @@ from flax import linen as nn
 from hig_tpu.models.embeddings import StylizationBlock
 
 
+def _attend(query, key, value, num_heads, key_mask=None, use_pallas=False):
+    if use_pallas:
+        from hig_tpu.ops.pallas_attention import fused_efficient_attention
+
+        return fused_efficient_attention(query, key, value, num_heads, key_mask)
+    return efficient_attention(query, key, value, num_heads, key_mask)
+
+
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     return x.reshape(x.shape[:-1] + (num_heads, x.shape[-1] // num_heads))
 
@@ -88,6 +96,7 @@ class EfficientSelfAttention(nn.Module):
     latent_dim: int
     num_heads: int
     dropout: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,7 +105,7 @@ class EfficientSelfAttention(nn.Module):
         q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
         k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xn)
         v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xn)
-        y = efficient_attention(q, k, v, self.num_heads, key_mask=src_mask)
+        y = _attend(q, k, v, self.num_heads, key_mask=src_mask, use_pallas=self.use_pallas)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic
         )
@@ -109,6 +118,7 @@ class EfficientCrossAttention(nn.Module):
     text_latent_dim: int
     num_heads: int
     dropout: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -118,7 +128,7 @@ class EfficientCrossAttention(nn.Module):
         q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
         k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xfn)
         v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xfn)
-        y = efficient_attention(q, k, v, self.num_heads)
+        y = _attend(q, k, v, self.num_heads, use_pallas=self.use_pallas)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic
         )
@@ -138,6 +148,7 @@ class EfficientInteractionAttention(nn.Module):
     latent_dim: int
     num_heads: int
     dropout: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -151,7 +162,7 @@ class EfficientInteractionAttention(nn.Module):
         k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(pn)
         v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(pn)
         mask = jnp.broadcast_to(src_mask, x.shape[:-1])
-        y = efficient_attention(q, k, v, self.num_heads, key_mask=jnp.flip(mask, axis=1))
+        y = _attend(q, k, v, self.num_heads, key_mask=jnp.flip(mask, axis=1), use_pallas=self.use_pallas)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic
         )

@@ -50,21 +50,24 @@ class InteractionDenoiserLayer(nn.Module):
     dropout: float = 0.0
     efficient: bool = True
     interaction: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, xf_out, emb, src_mask, deterministic: bool = True):
         kw = dict(dropout=self.dropout, dtype=self.dtype)
         if self.efficient:
-            x = EfficientSelfAttention(self.latent_dim, self.num_heads, name="sa_block", **kw)(
+            x = EfficientSelfAttention(self.latent_dim, self.num_heads, use_pallas=self.use_pallas, name="sa_block", **kw)(
                 x, emb, src_mask, deterministic
             )
             x = EfficientCrossAttention(
-                self.latent_dim, self.text_latent_dim, self.num_heads, name="ca_block", **kw
+                self.latent_dim, self.text_latent_dim, self.num_heads,
+                use_pallas=self.use_pallas, name="ca_block", **kw
             )(x, xf_out, emb, deterministic)
             if self.interaction:
                 x = EfficientInteractionAttention(
-                    self.latent_dim, self.num_heads, name="int_ca_block", **kw
+                    self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
+                    name="int_ca_block", **kw
                 )(x, emb, src_mask, deterministic)
         else:
             x = QuadraticSelfAttention(self.latent_dim, self.num_heads, name="sa_block", **kw)(
@@ -104,6 +107,7 @@ class InteractionDenoiser(nn.Module):
     dropout: float = 0.0
     efficient: bool = True
     interaction: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -153,6 +157,7 @@ class InteractionDenoiser(nn.Module):
                 dropout=self.dropout,
                 efficient=self.efficient,
                 interaction=self.interaction,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(h, xf_out, emb, src_mask, deterministic)
@@ -175,17 +180,19 @@ class SinglePersonDenoiserLayer(nn.Module):
     num_heads: int
     dropout: float = 0.0
     efficient: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, xf_out, emb, src_mask, deterministic: bool = True):
         kw = dict(dropout=self.dropout, dtype=self.dtype)
         if self.efficient:
-            x = EfficientSelfAttention(self.latent_dim, self.num_heads, name="sa_block", **kw)(
+            x = EfficientSelfAttention(self.latent_dim, self.num_heads, use_pallas=self.use_pallas, name="sa_block", **kw)(
                 x, emb, src_mask, deterministic
             )
             x = EfficientCrossAttention(
-                self.latent_dim, self.text_latent_dim, self.num_heads, name="ca_block", **kw
+                self.latent_dim, self.text_latent_dim, self.num_heads,
+                use_pallas=self.use_pallas, name="ca_block", **kw
             )(x, xf_out, emb, deterministic)
         else:
             x = QuadraticSelfAttention(self.latent_dim, self.num_heads, name="sa_block", **kw)(
@@ -212,6 +219,7 @@ class MotionDenoiser(nn.Module):
     text_latent_dim: int = 256
     dropout: float = 0.0
     efficient: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -251,6 +259,7 @@ class MotionDenoiser(nn.Module):
                 num_heads=self.num_heads,
                 dropout=self.dropout,
                 efficient=self.efficient,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(h, xf_out, emb, src_mask, deterministic)

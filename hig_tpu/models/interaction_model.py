@@ -41,6 +41,7 @@ class InteractionModel(nn.Module):
     cap_id: bool = False
     num_captions: int = 43
     clip_config: ClipTextConfig = ClipTextConfig()
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -77,6 +78,7 @@ class InteractionModel(nn.Module):
             dropout=self.dropout,
             efficient=self.efficient,
             interaction=self.interaction,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
 
@@ -157,6 +159,7 @@ class SingleMotionModel(nn.Module):
     dropout: float = 0.0
     efficient: bool = True
     clip_config: ClipTextConfig = ClipTextConfig()
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -186,6 +189,7 @@ class SingleMotionModel(nn.Module):
             text_latent_dim=self.text_latent_dim,
             dropout=self.dropout,
             efficient=self.efficient,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
 
@@ -222,5 +226,6 @@ def model_from_config(
         efficient=not cfg.no_eff,
         interaction=not cfg.no_cross_attn,
         cap_id=cfg.cap_id,
+        use_pallas=getattr(cfg, "use_pallas", False),
         dtype=dtype,
     )

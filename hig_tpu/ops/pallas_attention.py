@@ -11,6 +11,14 @@ per output.
 Differentiability: the kernel carries a custom VJP whose backward pass is
 the einsum formulation's VJP, so the fused forward drops into training
 too. Numerical parity with the einsum path is tested in interpret mode.
+
+Measured on v5e (B=64 pairs, T=91, D=512, H=8): the kernel alone is 2.8×
+faster than the einsum path (2.1 ms vs 5.8 ms per application), but inside
+the full denoiser the (N·H, T, hd) relayout acts as a fusion barrier for
+the surrounding QKV/output projections and the end-to-end sampler gets
+slower — hence ``use_pallas`` defaults to False. The productive next step
+(round 2) is folding the projections into the kernel so the barrier pays
+for itself.
 """
 
 from __future__ import annotations
@@ -36,36 +44,45 @@ def _einsum_reference(q, k, v, mask):
 
 
 def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    mask = mask_ref[0, :]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    mask = mask_ref[0, 0]
     k = k + (1.0 - mask)[:, None] * -1000000.0
     v = v * mask[:, None]
     q = jax.nn.softmax(q, axis=-1)
     k = jax.nn.softmax(k, axis=0)
     att = jnp.dot(k.T, v, preferred_element_type=jnp.float32)
     y = jnp.dot(q, att.astype(q.dtype), preferred_element_type=jnp.float32)
-    o_ref[0, :, 0, :] = y.astype(o_ref.dtype)
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _pallas_impl(q, k, v, mask, interpret=False):
+    """q/k/v: (N, Tq|Tk, H, hd); mask: (N, Tk). Internally runs per-(n, h)
+    blocks on an (N·H, T, hd) layout (Mosaic needs the trailing block dims
+    aligned or full)."""
     N, Tq, H, hd = q.shape
     Tk = k.shape[1]
-    grid = (N, H)
-    return pl.pallas_call(
+
+    def to_nh(x, T):
+        return x.transpose(0, 2, 1, 3).reshape(N * H, T, hd)
+
+    qh, kh, vh = to_nh(q, Tq), to_nh(k, Tk), to_nh(v, Tk)
+    mask3 = mask[:, None, :]  # (N, 1, Tk)
+    out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((N, Tq, H, hd), q.dtype),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((N * H, Tq, hd), q.dtype),
+        grid=(N * H,),
         in_specs=[
-            pl.BlockSpec((1, Tq, 1, hd), lambda n, h: (n, 0, h, 0)),
-            pl.BlockSpec((1, Tk, 1, hd), lambda n, h: (n, 0, h, 0)),
-            pl.BlockSpec((1, Tk, 1, hd), lambda n, h: (n, 0, h, 0)),
-            pl.BlockSpec((1, Tk), lambda n, h: (n, 0)),
+            pl.BlockSpec((1, Tq, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, Tk, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, Tk, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, Tk), lambda i: (i // H, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Tq, 1, hd), lambda n, h: (n, 0, h, 0)),
+        out_specs=pl.BlockSpec((1, Tq, hd), lambda i: (i, 0, 0)),
         interpret=interpret,
-    )(q, k, v, mask)
+    )(qh, kh, vh, mask3)
+    return out.reshape(N, H, Tq, hd).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
