@@ -79,12 +79,13 @@ def make_assignment_scorer(model: InteractionModel, sched: g.DiffusionSchedule):
     return score
 
 
-def _iter_scored_batches(scorer, params, dataset, batch_size, repeats, rng_seed, epoch_batches):
+def _iter_scored_batches(scorer, params, dataset, batch_size, repeats, rng_seed,
+                         epoch_batches, cap_id=False):
     """Yield (names, cap_ids, votes) where votes is (B,) lists of argmins."""
     rng = jax.random.key(rng_seed)
     for batch in epoch_batches(dataset, batch_size, epoch=0, shuffle=False, drop_last=False):
         votes = [[] for _ in range(len(batch["names"]))]
-        cond_a = jnp.asarray(batch["tokens"] if "tokens" in batch else batch["cap_ids"])
+        cond_a = jnp.asarray(batch["cap_ids"] if cap_id else batch["tokens"])
         cond_b = jnp.flip(cond_a, axis=1)
         motion = jnp.asarray(batch["motion"])
         lengths = jnp.asarray(batch["lengths"])
@@ -99,7 +100,8 @@ def _iter_scored_batches(scorer, params, dataset, batch_size, repeats, rng_seed,
 
 
 def discover_roles(
-    scorer, params, annotated_dataset, batch_size, epoch_batches, rng_seed=0
+    scorer, params, annotated_dataset, batch_size, epoch_batches, rng_seed=0,
+    cap_id=False,
 ) -> dict:
     """Stage 1-2a: per-class model-role orientation → pit_labels dict.
 
@@ -111,7 +113,7 @@ def discover_roles(
     tallies: dict[int, collections.Counter] = collections.defaultdict(collections.Counter)
     for batch, votes in _iter_scored_batches(
         scorer, params, annotated_dataset, batch_size, DISCOVERY_REPEATS, rng_seed,
-        epoch_batches,
+        epoch_batches, cap_id=cap_id,
     ):
         for i, v in enumerate(votes):
             class_id = int(batch["class_id"][i])
@@ -144,7 +146,7 @@ def discover_roles(
 
 def pseudo_label(
     scorer, params, dataset, batch_size, roles: dict, epoch_batches,
-    repeats: int = LABELING_REPEATS, rng_seed: int = 1,
+    repeats: int = LABELING_REPEATS, rng_seed: int = 1, cap_id: bool = False,
 ) -> dict:
     """Stage 1-2b: majority-vote 0/1 role labels for every clip.
 
@@ -153,7 +155,8 @@ def pseudo_label(
     """
     labels: dict[str, int] = {}
     for batch, votes in _iter_scored_batches(
-        scorer, params, dataset, batch_size, repeats, rng_seed, epoch_batches
+        scorer, params, dataset, batch_size, repeats, rng_seed, epoch_batches,
+        cap_id=cap_id,
     ):
         for i, v in enumerate(votes):
             class_id = int(batch["class_id"][i])

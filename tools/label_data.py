@@ -43,7 +43,8 @@ def main():
             cfg, mean, std, args.ann_split, label_path=label_path
         )
         roles = labeling.discover_roles(
-            scorer, state.params, annotated, args.batch_size, epoch_batches
+            scorer, state.params, annotated, args.batch_size, epoch_batches,
+            cap_id=cfg.cap_id,
         )
         out = pjoin(cfg.save_root, "pit_labels.json")
         labeling.save_json(roles, out)
@@ -54,7 +55,8 @@ def main():
             roles = json.load(f)
         train_ds = PairDataset(cfg, mean, std, "train_sub.txt")
         labels = labeling.pseudo_label(
-            scorer, state.params, train_ds, args.batch_size, roles, epoch_batches
+            scorer, state.params, train_ds, args.batch_size, roles, epoch_batches,
+            cap_id=cfg.cap_id,
         )
         out = pjoin(cfg.data_root, "pseudo_labels.json")
         labeling.save_json(labels, out)
