@@ -91,9 +91,16 @@ def main():
         trainer.model, trainer.sched, T=T_gen, dim_pose=cfg.dim_pose,
         sampler=cfg.sampler, ddim_steps=cfg.ddim_steps,
     )
-    tokens_of = lambda s: np.stack(
-        [tokenize(s["caption1"])[0], tokenize(s["caption2"])[0]]
-    )
+    if cfg.cap_id:
+        from hig_tpu.data.vocab import CAP2KEY
+
+        tokens_of = lambda s: np.asarray(
+            [CAP2KEY[s["caption1"]], CAP2KEY[s["caption2"]]], np.int32
+        )
+    else:
+        tokens_of = lambda s: np.stack(
+            [tokenize(s["caption1"])[0], tokenize(s["caption2"])[0]]
+        )
 
     save_dir = pjoin(cfg.result_path, cfg.name, args.model_name)
     os.makedirs(save_dir, exist_ok=True)
