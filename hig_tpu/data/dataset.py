@@ -138,7 +138,7 @@ def window_indices(nframes: int, rng: np.random.Generator, num_frames: int = WIN
         padding = (nframes - 1) * np.ones(ntoadd, dtype=int)
         return np.concatenate(([nframes], np.arange(nframes), padding))
     shift_max = nframes - num_frames
-    shift = int(rng.integers(0, max(1, shift_max - 1) if shift_max > 0 else 1))
+    shift = int(rng.integers(0, shift_max if shift_max > 0 else 1))
     return np.concatenate(([nframes], shift + np.arange(num_frames)))
 
 
@@ -340,7 +340,7 @@ class SingleMotionDataset:
             ix = np.concatenate([np.arange(nframes), padding, [nframes]])
         else:
             shift_max = nframes - self.window
-            shift = int(rng.integers(0, max(1, shift_max - 1) if shift_max > 0 else 1))
+            shift = int(rng.integers(0, shift_max if shift_max > 0 else 1))
             ix = np.concatenate([shift + np.arange(self.window), [nframes]])
         sample = clip.motion[ix].copy()
         sample[:-1] = (sample[:-1] - self.mean[:-3]) / self.std[:-3]

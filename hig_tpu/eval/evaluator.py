@@ -44,7 +44,7 @@ def window_rows(motion: np.ndarray, m_length: int, rng: np.random.Generator,
         ix = np.concatenate(([nframes], np.arange(nframes), padding))
     else:
         shift_max = nframes - num_frames
-        shift = int(rng.integers(0, max(1, shift_max - 1) if shift_max > 0 else 1))
+        shift = int(rng.integers(0, shift_max if shift_max > 0 else 1))
         ix = np.concatenate(([nframes], shift + np.arange(num_frames)))
     return rolled[:, ix]
 

@@ -56,7 +56,7 @@ void sample_one(const Store& s, int64_t clip_idx, uint64_t key, int64_t window,
         for (int64_t i = nframes; i < window; ++i) ix[1 + i] = nframes - 1;
     } else {
         int64_t shift_max = nframes - window;
-        int64_t hi = shift_max > 0 ? (shift_max - 1 > 0 ? shift_max - 1 : 1) : 1;
+        int64_t hi = shift_max > 0 ? shift_max : 1;
         int64_t shift = (int64_t)rng_uniform(key, (uint64_t)hi);
         for (int64_t i = 0; i < window; ++i) ix[1 + i] = shift + i;
     }
