@@ -89,6 +89,7 @@ class ExperimentConfig:
     # projections — measured slower end-to-end inside the denoiser. Keep off
     # unless the kernel grows to swallow the QKV/out projections.
     use_pallas: bool = False
+    use_native_loader: bool = False  # C++ batch loader fast path (native/)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     window_size: int = 90  # training window frames (ref: mul_dataset.py:186)

@@ -344,6 +344,39 @@ class Trainer:
         )(params, tokens)
         return np.asarray(feats), np.asarray(tokenize(CAPS))
 
+    def _native_epoch_batches(self, dataset, batch_size, epoch, seed):
+        """C++ fast-path batches (native/loader.cpp): window+normalize+swap
+        natively; captions from the per-clip table. Only valid when each clip
+        has a single caption line (true for NTU)."""
+        import numpy as np
+
+        from hig_tpu.data.dataset import collate
+        from hig_tpu.data.native_loader import store_from_dataset
+
+        if self._native_store is None:
+            self._native_store, self._native_swaps = store_from_dataset(dataset)
+            self._native_caps = [
+                dataset.__getitem__(i, epoch=0) for i in range(dataset.real_len())
+            ]
+        n = len(dataset)
+        order = np.arange(n)
+        np.random.default_rng((seed, epoch)).shuffle(order)
+        order = order[: (n // batch_size) * batch_size]
+        real = dataset.real_len()
+        for lo in range(0, len(order), batch_size):
+            idx = order[lo : lo + batch_size] % real
+            motion, lengths = self._native_store.sample_batch(
+                idx, window=self.cfg.window_size, seed=seed, epoch=epoch,
+                swap_flags=self._native_swaps[idx],
+            )
+            samples = []
+            for j, i in enumerate(idx):
+                s = dict(self._native_caps[int(i)])
+                s["motion"] = motion[j]
+                s["length"] = int(lengths[j])
+                samples.append(s)
+            yield collate(samples)
+
     def train(self, dataset, state: TrainState, num_epochs=None, log=print):
         cfg = self.cfg
         num_epochs = num_epochs or cfg.num_epochs
@@ -360,13 +393,26 @@ class Trainer:
         from hig_tpu.data.dataset import epoch_batches
         from hig_tpu.train import checkpoint as ckpt
 
+        batches_fn = lambda ds, bs, ep: epoch_batches(ds, bs, ep, seed=cfg.seed)
+        if getattr(cfg, "use_native_loader", False):
+            from hig_tpu.data import native_loader
+
+            if native_loader.available() and all(
+                len(c.texts) == 1 for c in dataset.clips
+            ):
+                self._native_store = None
+                batches_fn = lambda ds, bs, ep: self._native_epoch_batches(
+                    ds, bs, ep, cfg.seed
+                )
+                log("using native C++ batch loader")
+
         rng = jax.random.key(cfg.seed + 1)
         metrics_path = pjoin(cfg.save_root, "metrics.jsonl")
         start = time.time()
         it = int(state.step)
         logs: dict[str, float] = {}
         for epoch in range(num_epochs):
-            for batch in epoch_batches(dataset, cfg.batch_size, epoch, seed=cfg.seed):
+            for batch in batches_fn(dataset, cfg.batch_size, epoch):
                 dev_batch = self._device_batch(batch, tower_feats)
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(state, dev_batch, step_rng)
