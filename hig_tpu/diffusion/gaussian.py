@@ -271,13 +271,14 @@ def p_sample_loop(
                 [re_noised[..., :pre_seq_len, :], x[..., pre_seq_len:, :]], axis=-2
             )
         if transl_req is not None:
-            for frame_idx, tx, tz in transl_req:
+            for pin_i, (frame_idx, tx, tz) in enumerate(transl_req):
                 target = jnp.asarray([tx, tz], dtype)
+                pin_rng = jax.random.fold_in(pre_rng, pin_i + 1)
                 noised = q_sample(
                     sched,
                     jnp.broadcast_to(target, (batch, 2)),
                     t,
-                    jax.random.normal(pre_rng, (batch, 2), dtype),
+                    jax.random.normal(pin_rng, (batch, 2), dtype),
                 )
                 x = x.at[:, frame_idx, 1:3].set(noised)
         eps = model(x, t)

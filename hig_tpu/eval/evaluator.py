@@ -167,9 +167,13 @@ def evaluate_once(
     results["Acc"] = {"ground truth": gt_acc, "text2motion": gen_acc}
     results["Consistency"] = {"ground truth": gt_cons, "text2motion": gen_cons}
     gt_mu, gt_cov = M.calculate_activation_statistics(gt_emb)
+    # GT-vs-GT FID uses a second, independently-windowed embedding of the
+    # same clips (the reference embeds GT through two independently-random
+    # loaders, so its GT FID is a small nonzero sanity value, not 0).
+    _, gt_emb2, _ = _batched_embeddings(embed_fn, gt_items, rng)
     results["FID"] = {
         "ground truth": M.calculate_frechet_distance(
-            gt_mu, gt_cov, *M.calculate_activation_statistics(gt_emb)
+            gt_mu, gt_cov, *M.calculate_activation_statistics(gt_emb2)
         ),
         "text2motion": M.calculate_frechet_distance(
             gt_mu, gt_cov, *M.calculate_activation_statistics(gen_emb)

@@ -171,7 +171,10 @@ class EfficientInteractionAttention(nn.Module):
 class QuadraticSelfAttention(nn.Module):
     """(ref: TemporalSelfAttention, interaction_transformer.py:266-297).
 
-    Faithfully reproduces the reference's raw 0/1-mask logit add (:292).
+    Deliberate deviation: the reference adds the raw 0/1 mask to the logits
+    (:292), which neither masks anything nor even broadcasts for B≠T — the
+    --no_eff self-attention path is effectively broken upstream. Here padded
+    keys get the standard -1e6 bias so the quadratic path is actually usable.
     """
 
     latent_dim: int
@@ -185,7 +188,8 @@ class QuadraticSelfAttention(nn.Module):
         q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
         k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xn)
         v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xn)
-        bias = src_mask[..., None, :, None]  # add mask over the key axis
+        mask = jnp.broadcast_to(src_mask, x.shape[:-1])
+        bias = (1.0 - mask)[..., None, :, None] * -1000000.0
         y = quadratic_attention(q, k, v, self.num_heads, logit_bias=bias)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic

@@ -36,8 +36,9 @@ class SMPLModel:
     posedirs: jax.Array  # (207, V*3)
     j_regressor: jax.Array  # (24, V)
     lbs_weights: jax.Array  # (V, 24)
-    parents: jax.Array = dataclasses.field(
-        default_factory=lambda: jnp.asarray(SMPL_PARENTS)
+    # kinematic parents: static (drives the unrolled FK), not a pytree leaf
+    parents: tuple = dataclasses.field(
+        default=tuple(SMPL_PARENTS.tolist()), metadata=dict(static=True)
     )
     faces: jax.Array | None = None
 
@@ -89,11 +90,14 @@ def load_smpl_model(path: str) -> SMPLModel:
         posedirs=jnp.asarray(posedirs, jnp.float32),
         j_regressor=jnp.asarray(_to_np(j_reg), jnp.float32),
         lbs_weights=jnp.asarray(_to_np(d["weights"]), jnp.float32),
-        parents=jnp.asarray(
-            _to_np(d["kintree_table"])[0].astype(np.int64)
-            if "kintree_table" in d
-            else SMPL_PARENTS
-        ).at[0].set(-1),
+        parents=tuple(
+            [-1]
+            + (
+                _to_np(d["kintree_table"])[0].astype(np.int64)[1:].tolist()
+                if "kintree_table" in d
+                else SMPL_PARENTS[1:].tolist()
+            )
+        ),
         faces=jnp.asarray(np.asarray(d["f"], np.int32)) if "f" in d else None,
     )
 
@@ -164,8 +168,8 @@ def lbs(
     pose_feature = (rot_mats[1:] - jnp.eye(3, dtype=pose.dtype)).reshape(-1)  # (207,)
     v_posed = v_shaped + (pose_feature @ model.posedirs).reshape(v_shaped.shape)
 
-    # forward kinematics over the fixed parent chain (static unroll)
-    parents = np.asarray(SMPL_PARENTS)
+    # forward kinematics over the model's parent chain (static unroll)
+    parents = np.asarray(model.parents)
     transforms = [None] * NUM_JOINTS
     rel = joints_rest.at[1:].add(-joints_rest[np.asarray(parents[1:])])
 

@@ -36,14 +36,31 @@ LABELING_REPEATS = 41  # (ref :465)
 
 
 def make_assignment_scorer(model: InteractionModel, sched: g.DiffusionSchedule):
-    """Returns score(params, motion, lengths, cond_a, cond_b, t, rng) → (B, 2)
-    summed masked losses for assignment A=(c1,c2) and B=(c2,c1).
+    """Returns (encode, score):
 
-    (the loss computation of label_batch, mul_ddpm_trainer.py:373-396)
+      encode(params, cond_a, cond_b) → (xf_proj, xf_out) for the stacked
+        [A; B] assignments — computed ONCE per batch (the conditioning is
+        loop-invariant across the t-values × repeats sweep; re-running the
+        frozen CLIP tower 164× per batch was pure waste).
+      score(params, motion, lengths, xf_proj, xf_out, t, rng) → (B, 2)
+        summed masked losses for assignment A=(c1,c2) and B=(c2,c1)
+        (the loss computation of label_batch, mul_ddpm_trainer.py:373-396).
     """
 
     @jax.jit
-    def score(params, motion, lengths, cond_a, cond_b, t_scalar, rng):
+    def encode(params, cond_a, cond_b):
+        enc = lambda c: model.apply(
+            params, c, True, method=InteractionModel.encode_text
+        )
+        pa, oa = enc(cond_a)
+        pb, ob = enc(cond_b)
+        return (
+            jnp.concatenate([pa, pb], axis=0),
+            jnp.concatenate([oa, ob], axis=0),
+        )
+
+    @jax.jit
+    def score(params, motion, lengths, xf_proj, xf_out, t_scalar, rng):
         B, _, T, _ = motion.shape
         lengths = jnp.minimum(lengths, T)
         t = jnp.full((B,), t_scalar, jnp.int32)
@@ -51,13 +68,6 @@ def make_assignment_scorer(model: InteractionModel, sched: g.DiffusionSchedule):
         x_t, target = g.training_targets(sched, motion, t, noise)
         mask = (jnp.arange(T) < lengths[:, None]).astype(motion.dtype)
 
-        def encode(cond):
-            return model.apply(params, cond, True, method=InteractionModel.encode_text)
-
-        pa, oa = encode(cond_a)
-        pb, ob = encode(cond_b)
-        xf_proj = jnp.concatenate([pa, pb], axis=0)
-        xf_out = jnp.concatenate([oa, ob], axis=0)
         pred = model.apply(
             params,
             jnp.concatenate([x_t, x_t], axis=0),
@@ -76,12 +86,13 @@ def make_assignment_scorer(model: InteractionModel, sched: g.DiffusionSchedule):
         sums = jnp.sum(per_tok * mask2, axis=(1, 2))  # (2B,) over both actors
         return jnp.stack([sums[:B], sums[B:]], axis=1)  # (B, 2)
 
-    return score
+    return encode, score
 
 
 def _iter_scored_batches(scorer, params, dataset, batch_size, repeats, rng_seed,
                          epoch_batches, cap_id=False):
     """Yield (names, cap_ids, votes) where votes is (B,) lists of argmins."""
+    encode, score = scorer
     rng = jax.random.key(rng_seed)
     for batch in epoch_batches(dataset, batch_size, epoch=0, shuffle=False, drop_last=False):
         votes = [[] for _ in range(len(batch["names"]))]
@@ -89,10 +100,11 @@ def _iter_scored_batches(scorer, params, dataset, batch_size, repeats, rng_seed,
         cond_b = jnp.flip(cond_a, axis=1)
         motion = jnp.asarray(batch["motion"])
         lengths = jnp.asarray(batch["lengths"])
+        xf_proj, xf_out = encode(params, cond_a, cond_b)  # once per batch
         for t in LABEL_T_VALUES:
             for _ in range(repeats):
                 rng, sub = jax.random.split(rng)
-                s = scorer(params, motion, lengths, cond_a, cond_b, t, sub)
+                s = score(params, motion, lengths, xf_proj, xf_out, t, sub)
                 result = np.asarray(jnp.argmin(s, axis=1))
                 for i, r in enumerate(result):
                     votes[i].append(int(r))

@@ -206,13 +206,13 @@ class TestLabeling:
                 return bias * jnp.ones_like(x)
 
         fake = FakeModel()
-        labeling.make_assignment_scorer.__wrapped__ if False else None
-        scorer = labeling.make_assignment_scorer(fake, sched)
+        encode, score = labeling.make_assignment_scorer(fake, sched)
         motion = jnp.zeros((2, 2, 10, 6))
         lengths = jnp.full((2,), 10, jnp.int32)
         cond_a = jnp.zeros((2, 2, 77), jnp.int32)
         cond_b = jnp.ones((2, 2, 77), jnp.int32) * 100
-        s = scorer(None, motion, lengths, cond_a, cond_b, 900, jax.random.key(0))
+        xf_proj, xf_out = encode(None, cond_a, cond_b)
+        s = score(None, motion, lengths, xf_proj, xf_out, 900, jax.random.key(0))
         assert s.shape == (2, 2)
         # assignment A encodes zeros → prediction 0; x_t at t=900 is ~noise,
         # target=noise ⇒ nonzero loss either way but A's prediction is closer

@@ -76,14 +76,27 @@ def main():
     embed = make_embedder(enc, enc_params, cons, cons_params)
 
     test_ds = PairDataset(cfg, mean, std, args.split_file, eval_mode=True)
-    # eval items: raw windowed+normalized gt with init row first → convert to
-    # generated layout (init first already) for the shared windowing path.
+    # Eval items carry the FULL normalized clip and its true length:
+    # generation is conditioned on the real clip length (up to T_gen) and a
+    # random 90-frame window is taken afterward, matching the reference
+    # protocol (Text2MotionDatasetV2 returns m_length; EvaluationDataset
+    # windows the longer generation — evaluator.py:143-166). Layout is
+    # init-row-first, which window_rows expects.
     eval_samples = []
-    for i in range(test_ds.real_len()):
-        s = test_ds.__getitem__(i, epoch=0)
+    for clip in test_ds.clips:
+        full = clip.motion.copy()  # (2, T, D), init row last
+        full[:, :-1] = (full[:, :-1] - mean[:-4]) / std[:-4]
+        full[:, -1, :4] = (full[:, -1, :4] - mean[-4:]) / std[-4:]
+        init_first = np.concatenate([full[:, -1:], full[:, :-1]], axis=1)
+        import zlib
+
+        rng_cap = np.random.default_rng((cfg.seed, zlib.crc32(clip.name.encode())))
+        caption1, caption2 = clip.texts[int(rng_cap.integers(len(clip.texts)))]
+        if cfg.cap_same:
+            caption2 = caption1
         eval_samples.append(
-            dict(motion=s["motion"], length=int(s["length"]), class_id=int(s["class_id"]),
-                 caption1=s["caption1"], caption2=s["caption2"])
+            dict(motion=init_first.astype(np.float32), length=int(clip.length),
+                 class_id=int(clip.class_id), caption1=caption1, caption2=caption2)
         )
 
     T_gen = args.gen_T or cfg.max_motion_length

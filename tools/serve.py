@@ -90,10 +90,18 @@ def main():
             per = mesh.devices.shape[0]
             pad = (-len(chunk)) % per
         chunk_p = chunk + [chunk[-1]] * pad
-        tokens = np.stack(
-            [np.stack([tokenize(r["caption1"])[0], tokenize(r["caption2"])[0]])
-             for r in chunk_p]
-        ).astype(np.int32)
+        if cfg.cap_id:
+            from hig_tpu.data.vocab import CAP2KEY
+
+            tokens = np.asarray(
+                [[CAP2KEY[r["caption1"]], CAP2KEY[r["caption2"]]] for r in chunk_p],
+                np.int32,
+            )
+        else:
+            tokens = np.stack(
+                [np.stack([tokenize(r["caption1"])[0], tokenize(r["caption2"])[0]])
+                 for r in chunk_p]
+            ).astype(np.int32)
         lengths = np.asarray([r["length"] + 1 for r in chunk_p], np.int32)
         if use_mesh:
             tokens = jax.device_put(tokens, pmesh.batch_sharding(mesh))

@@ -113,7 +113,7 @@ def run_single(args):
         text_latent_dim=cfg.text_latent_dim, text_ff_size=cfg.text_ff_size,
         text_num_heads=cfg.text_num_heads, num_text_layers=cfg.num_text_layers,
     )
-    T = args.motion_length
+    T = args.motion_length + 1  # + trailing init token (SingleMotionDataset layout)
     x = jnp.zeros((1, T, cfg.dim_pose))
     tokens = jnp.asarray(tokenize([caption]))
     init = jax.jit(model.init)(
@@ -127,7 +127,15 @@ def run_single(args):
     out = np.asarray(
         sample(restored, tokens, jnp.full((1,), T, np.int32), jax.random.key(args.seed))
     )[0]
-    denorm = out * std[: cfg.dim_pose] + mean[: cfg.dim_pose]
+    # de-normalize per the single-person convention: frame rows vs the main
+    # stats, trailing init row (channels 0:3) vs the 3 trailing init stats
+    # (ref dataset.py:118-121); the init token only carries world placement,
+    # so decoding uses the frame rows.
+    if mean.shape[0] == cfg.dim_pose + 3:
+        frame_mean, frame_std = mean[:-3], std[:-3]
+    else:
+        frame_mean, frame_std = mean[: cfg.dim_pose], std[: cfg.dim_pose]
+    denorm = out[:-1] * frame_std + frame_mean
     joints = np.asarray(recover_from_ric(jnp.asarray(denorm), cfg.joints_num))
     os.makedirs(args.result_path, exist_ok=True)
     stem = pjoin(args.result_path, f"single_s{args.seed}")
