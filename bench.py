@@ -86,6 +86,24 @@ def main():
     fused_time = (time.time() - t0) / reps
     fused_fps = frames / fused_time
 
+    # --- DDIM-50 fast path (the sampler the reference implemented but never
+    # wired up; quality-comparable fast sampling) ---------------------------
+    @jax.jit
+    def fused_ddim(params, xf_proj, xf_out, rng):
+        def denoiser(x, t):
+            return model.apply(
+                params, x, t, lengths, xf_proj, xf_out, True,
+                method=InteractionModel.denoise,
+            )
+
+        return g.ddim_sample_loop(sched, denoiser, shape, rng, num_steps=50)
+
+    _sync(fused_ddim(params, xf_proj, xf_out, jax.random.key(0)))
+    t0 = time.time()
+    for i in range(reps):
+        _sync(fused_ddim(params, xf_proj, xf_out, jax.random.key(i + 1)))
+    ddim_fps = frames / ((time.time() - t0) / reps)
+
     # --- reference-style host loop on the same chip ------------------------
     @jax.jit
     def one_step(params, xf_proj, xf_out, x, t_scalar, rng):
@@ -123,6 +141,7 @@ def main():
         "fused_seconds_per_batch": round(fused_time, 3),
         "baseline_note": "reference-style host-synced per-step loop, same model/chip",
         "baseline_fps": round(loop_fps, 1),
+        "ddim50_fps": round(ddim_fps, 1),
         "n_devices": len(jax.devices()),
     }
     print(json.dumps(result))
