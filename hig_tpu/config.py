@@ -84,10 +84,13 @@ class ExperimentConfig:
 
     # TPU-native additions
     seed: int = 0
-    # Pallas fused attention: 2.8x faster than the einsum core in isolation,
-    # but the (N·H, T, hd) relayout breaks XLA fusion with the surrounding
-    # projections — measured slower end-to-end inside the denoiser. Keep off
-    # unless the kernel grows to swallow the QKV/out projections.
+    # Pallas fused attention (two variants in ops/pallas_attention.py).
+    # Measured on v5e at reference shapes (B=64, T=91, D=512): the fused
+    # core alone is 2.8x the einsum path in isolation but loses end-to-end
+    # (relayout fusion barrier: 292 f/s); fusing the QKV projections into
+    # the kernel recovers parity (817 vs 831 f/s) but does not beat XLA —
+    # the model is compute-roofline-bound either way. Off by default; the
+    # kernels become interesting at longer T / larger d.
     use_pallas: bool = False
     use_native_loader: bool = False  # C++ batch loader fast path (native/)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"

@@ -35,6 +35,31 @@ def _attend(query, key, value, num_heads, key_mask=None, use_pallas=False):
     return efficient_attention(query, key, value, num_heads, key_mask)
 
 
+class _DenseParams(nn.Module):
+    """Parameters of an nn.Dense (same tree layout/init) without the matmul —
+    the Pallas fused-attention kernel consumes the raw weights."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+def _fused_projected(q_src, kv_src, qkv_params, num_heads, key_mask=None):
+    from hig_tpu.ops.pallas_attention import fused_projected_attention
+
+    (wq, bq), (wk, bk), (wv, bv) = qkv_params
+    return fused_projected_attention(
+        q_src, kv_src, wq, bq, wk, bk, wv, bv, num_heads, key_mask=key_mask
+    )
+
+
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     return x.reshape(x.shape[:-1] + (num_heads, x.shape[-1] // num_heads))
 
@@ -102,10 +127,19 @@ class EfficientSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, emb, src_mask, deterministic: bool = True):
         xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
-        k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xn)
-        v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xn)
-        y = _attend(q, k, v, self.num_heads, key_mask=src_mask, use_pallas=self.use_pallas)
+        if self.use_pallas:
+            D = self.latent_dim
+            qkv = (
+                _DenseParams(D, D, name="query")(),
+                _DenseParams(D, D, name="key")(),
+                _DenseParams(D, D, name="value")(),
+            )
+            y = _fused_projected(xn, xn, qkv, self.num_heads, key_mask=src_mask)
+        else:
+            q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
+            k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xn)
+            v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xn)
+            y = efficient_attention(q, k, v, self.num_heads, key_mask=src_mask)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic
         )
@@ -125,10 +159,20 @@ class EfficientCrossAttention(nn.Module):
     def __call__(self, x, xf, emb, deterministic: bool = True):
         xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         xfn = nn.LayerNorm(dtype=self.dtype, name="text_norm")(xf)
-        q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
-        k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xfn)
-        v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xfn)
-        y = _attend(q, k, v, self.num_heads, use_pallas=self.use_pallas)
+        if self.use_pallas:
+            D = self.latent_dim
+            Dt = xf.shape[-1]
+            qkv = (
+                _DenseParams(D, D, name="query")(),
+                _DenseParams(Dt, D, name="key")(),
+                _DenseParams(Dt, D, name="value")(),
+            )
+            y = _fused_projected(xn, xfn, qkv, self.num_heads)
+        else:
+            q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
+            k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xfn)
+            v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xfn)
+            y = efficient_attention(q, k, v, self.num_heads)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic
         )
@@ -154,15 +198,26 @@ class EfficientInteractionAttention(nn.Module):
     @nn.compact
     def __call__(self, x, emb, src_mask, deterministic: bool = True):
         # x: (B, 2, T, D); emb: (B, 2, E); src_mask: (B, 1, T) or (B, 2, T).
-        partner = jnp.flip(x, axis=1)
+        # LayerNorm is per-token, so norm(flip(x)) == flip(norm(x)): normalize
+        # once and flip.
         norm = nn.LayerNorm(dtype=self.dtype, name="norm")
         xn = norm(x)
-        pn = norm(partner)
-        q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
-        k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(pn)
-        v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(pn)
+        pn = jnp.flip(xn, axis=1)
         mask = jnp.broadcast_to(src_mask, x.shape[:-1])
-        y = _attend(q, k, v, self.num_heads, key_mask=jnp.flip(mask, axis=1), use_pallas=self.use_pallas)
+        pmask = jnp.flip(mask, axis=1)
+        if self.use_pallas:
+            D = self.latent_dim
+            qkv = (
+                _DenseParams(D, D, name="query")(),
+                _DenseParams(D, D, name="key")(),
+                _DenseParams(D, D, name="value")(),
+            )
+            y = _fused_projected(xn, pn, qkv, self.num_heads, key_mask=pmask)
+        else:
+            q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
+            k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(pn)
+            v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(pn)
+            y = efficient_attention(q, k, v, self.num_heads, key_mask=pmask)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic
         )
