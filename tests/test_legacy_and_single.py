@@ -204,3 +204,32 @@ class TestSinglePersonPath:
         assert s["motion"].shape == (61, 263)  # 60 frames + trailing init
         batch = collate([ds[i] for i in range(4)])
         assert batch["tokens"].shape == (4, 77)
+
+
+class TestLegacyProtocol:
+    def test_co_embedding_pipeline(self):
+        from hig_tpu.data.word_vectorizer import WordVectorizer
+        from hig_tpu.eval.legacy_protocol import (
+            CoEmbeddingEvaluator, evaluate_matching_and_r_precision,
+            vectorize_tokens,
+        )
+
+        wv = WordVectorizer()
+        we, po, sl = vectorize_tokens(["a/DET", "person/NOUN", "walks/VERB"], 8, wv)
+        assert we.shape == (10, 300) and po.shape == (10, 15) and sl == 5
+
+        ev = CoEmbeddingEvaluator(dim_pose=263, dim_movement_latent=32,
+                                  dim_coemb_hidden=32, dim_out=16)
+        B, T = 4, 16
+        motions = np.random.randn(B, T, 263).astype(np.float32)
+        m_lens = np.asarray([16, 12, 16, 8])
+        word_embs = np.random.randn(B, 10, 300).astype(np.float32)
+        pos_ohots = np.random.randn(B, 10, 15).astype(np.float32)
+        cap_lens = np.asarray([10, 5, 7, 9])
+        t_emb, m_emb = ev.get_co_embeddings(motions, m_lens, word_embs, pos_ohots, cap_lens)
+        assert t_emb.shape == (B, 16) and m_emb.shape == (B, 16)
+
+        big_t = np.random.randn(64, 16).astype(np.float32)
+        match, topk = evaluate_matching_and_r_precision(big_t, big_t.copy(), top_k=3)
+        assert match < 1e-5  # identical embeddings → zero matching distance
+        assert topk[0] == 1.0  # and perfect top-1 retrieval
