@@ -118,3 +118,52 @@ class TestCLIPipeline:
         ])
         files = os.listdir(str(tmp_path / "viz"))
         assert any(f.endswith(".npy") for f in files)
+
+    def test_eval_model_testers(self, world, monkeypatch, tmp_path):
+        monkeypatch.chdir(str(tmp_path))
+        run_tool("test_evaluation_model", [
+            "--opt_path", os.path.join(world["ckpt"], "synthetic_mul", "eval_model", "opt.txt"),
+            "--split_file", "test_sub.txt",
+        ])
+        run_tool("test_consistency_evaluation_model", [
+            "--opt_path",
+            os.path.join(world["ckpt"], "synthetic_mul", "consistency_eval_model", "opt.txt"),
+            "--split_file", "test_sub.txt",
+        ])
+
+    def test_serve(self, world, tmp_path):
+        reqs = [
+            {"caption1": "A person is pushing the other person.",
+             "caption2": "A person is pushed by the other person.",
+             "length": 24, "id": "r0"},
+            {"caption1": "A person is hugging the other person.",
+             "caption2": "A person is hugging the other person.", "id": "r1"},
+        ]
+        req_path = str(tmp_path / "reqs.jsonl")
+        with open(req_path, "w") as f:
+            for r in reqs:
+                f.write(json.dumps(r) + "\n")
+        out_dir = str(tmp_path / "serve")
+        run_tool("serve", [
+            "--opt_path", os.path.join(world["ckpt"], "synthetic_mul", "interaction", "opt.txt"),
+            "--requests", req_path, "--out_dir", out_dir,
+            "--batch_size", "8", "--motion_length", "24", "--sampler", "ddim",
+        ])
+        index = json.load(open(os.path.join(out_dir, "index.json")))
+        assert len(index) == 2
+        data = np.load(index[0]["path"])
+        assert data["joints"].shape == (2, 24, 22, 3)
+        assert np.isfinite(data["joints"]).all()
+
+    def test_render_smpl_synthetic(self, world, tmp_path):
+        joints = np.random.randn(2, 3, 22, 3).astype(np.float32) * 0.1
+        npy = str(tmp_path / "motion.npy")
+        np.save(npy, joints)
+        run_tool("render_smpl", [
+            "--file_name", npy, "--save_dir", str(tmp_path / "smpl"),
+            "--num_smplify_iters", "3", "--gmm", "/nonexistent",
+            "--mean_params", "/nonexistent",
+        ])
+        out = np.load(str(tmp_path / "smpl" / "motion_params.npz"))
+        assert out["pose"].shape == (6, 72)
+        assert np.isfinite(out["pose"]).all()

@@ -77,6 +77,9 @@ def main():
     )
     mesh = trainer.mesh
     use_mesh = mesh.devices.size > 1
+    params = state.params
+    if use_mesh:
+        params = jax.device_put(params, pmesh.replicated(mesh))
 
     os.makedirs(args.out_dir, exist_ok=True)
     index = []
@@ -109,7 +112,7 @@ def main():
         else:
             tokens, lengths = jnp.asarray(tokens), jnp.asarray(lengths)
         rng, sub = jax.random.split(rng)
-        out = np.asarray(sample_fn(state.params, tokens, lengths, sub))
+        out = np.asarray(sample_fn(params, tokens, lengths, sub))
         out = out[: len(chunk)]
 
         # de-normalize + decode to joints (host numpy + one vmapped decode)
