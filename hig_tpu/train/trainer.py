@@ -333,6 +333,12 @@ class Trainer:
             params=params, opt_state=self.tx.init(params), step=jnp.zeros((), jnp.int32)
         )
 
+    def place_state(self, state: TrainState) -> TrainState:
+        """Re-place a (restored) state replicated over the mesh — orbax
+        restores commit arrays to device 0, which clashes with mesh-sharded
+        batches."""
+        return jax.device_put(state, pmesh.replicated(self.mesh))
+
     def precompute_tower(self, params) -> np.ndarray:
         """Frozen CLIP features for the 43-caption vocabulary, computed once."""
         from hig_tpu.data.vocab import CAPS
@@ -411,14 +417,37 @@ class Trainer:
         start = time.time()
         it = int(state.step)
         logs: dict[str, float] = {}
+        # failure recovery: device/runtime faults (e.g. a TPU worker restart)
+        # roll back to the last checkpoint instead of killing the run. The
+        # reference's only recovery is a manual rerun with --is_continue
+        # (SURVEY.md §5); this automates it in-process.
+        retries_left = getattr(cfg, "max_failure_retries", 2)
+        ckpt_exists = False
         for epoch in range(num_epochs):
             for batch in batches_fn(dataset, cfg.batch_size, epoch):
-                dev_batch = self._device_batch(batch, tower_feats)
                 rng, step_rng = jax.random.split(rng)
-                state, metrics = train_step(state, dev_batch, step_rng)
+                try:
+                    # device faults surface either at dispatch or at the
+                    # metric readback below — keep both inside the guard
+                    dev_batch = self._device_batch(batch, tower_feats)
+                    new_state, metrics = train_step(state, dev_batch, step_rng)
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    state = new_state
+                except jax.errors.JaxRuntimeError as e:
+                    if retries_left <= 0 or not ckpt_exists:
+                        raise
+                    retries_left -= 1
+                    log(f"device failure ({type(e).__name__}); rolling back to "
+                        f"latest checkpoint ({retries_left} retries left)")
+                    fresh = self.init_state()
+                    state, _, it = ckpt.restore_state(
+                        pjoin(cfg.model_dir, "latest"), fresh
+                    )
+                    state = self.place_state(state)
+                    continue
                 it += 1
                 for k, v in metrics.items():
-                    logs[k] = logs.get(k, 0.0) + float(v)
+                    logs[k] = logs.get(k, 0.0) + v
                 if it % cfg.log_every == 0:
                     mean = {k: v / cfg.log_every for k, v in logs.items()}
                     logs = {}
@@ -432,7 +461,9 @@ class Trainer:
                         f.write(json.dumps({"it": it, "epoch": epoch, **mean}) + "\n")
                 if it % cfg.save_latest == 0:
                     ckpt.save_state(pjoin(cfg.model_dir, "latest"), state, epoch, it)
+                    ckpt_exists = True
             ckpt.save_state(pjoin(cfg.model_dir, "latest"), state, epoch, it)
+            ckpt_exists = True
             if epoch % cfg.save_every_e == 0:
                 ckpt.save_state(pjoin(cfg.model_dir, f"ckpt_e{epoch:03d}"), state, epoch, it)
         return state

@@ -244,3 +244,42 @@ class TestPITLossSemantics:
         m = np.asarray(mask)[:, None, :]
         want = (per_tok * m).sum() / (2 * m[:, 0].sum())
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestFailureRecovery:
+    def test_rollback_on_device_failure(self, synth_root, tmp_path):
+        """A JaxRuntimeError mid-training rolls back to the latest checkpoint
+        and continues instead of killing the run."""
+        import jax
+        from hig_tpu.data.dataset import PairDataset
+        from hig_tpu.train.trainer import Trainer
+
+        cfg = tiny_cfg(str(tmp_path))
+        cfg.data_root = synth_root
+        cfg.save_latest = 2  # checkpoint early so rollback has a target
+        trainer = Trainer(cfg, clip_config=TINY_CLIP)
+        state = trainer.init_state()
+        mean = np.load(os.path.join(synth_root, "Mean.npy"))
+        std = np.load(os.path.join(synth_root, "Std.npy"))
+        ds = PairDataset(cfg, mean, std, "train_sub.txt", times=2)
+
+        # inject one failure a few steps in at the host-side batch transfer
+        # (jit-cached code never re-executes Python, so the fault must live
+        # on the host path — as real device faults do)
+        real_device_batch = trainer._device_batch
+        calls = {"n": 0}
+
+        def flaky_device_batch(batch, tower_feats):
+            calls["n"] += 1
+            if calls["n"] == 4:
+                raise jax.errors.JaxRuntimeError("injected device fault")
+            return real_device_batch(batch, tower_feats)
+
+        logs = []
+        trainer._device_batch = flaky_device_batch
+        try:
+            state = trainer.train(ds, state, num_epochs=1, log=logs.append)
+        finally:
+            trainer._device_batch = real_device_batch
+        assert any("rolling back" in l for l in logs)
+        assert int(state.step) > 0

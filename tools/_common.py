@@ -42,4 +42,5 @@ def restore_trainer_state(cfg, which: str = "latest"):
     state = trainer.init_state()
     path = pjoin(cfg.model_dir, which)
     state, epoch, it = ckpt.restore_state(path, state)
+    state = trainer.place_state(state)
     return trainer, state, epoch, it

@@ -70,6 +70,7 @@ def main():
         print(f"loaded pretrained weights from {args.pretrained_path}")
     if cfg.is_continue:
         state, epoch, it = ckpt.restore_state(pjoin(cfg.model_dir, "latest"), state)
+        state = trainer.place_state(state)
         print(f"resumed from epoch {epoch}, it {it}")
     trainer.train(dataset, state)
 
