@@ -102,6 +102,26 @@ def fid_from_activations(gen: np.ndarray, gt: np.ndarray) -> float:
     return calculate_frechet_distance(mu1, cov1, mu2, cov2)
 
 
+def frechet_distance_device(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):
+    """Jit-friendly FID via symmetric eigendecomposition (no scipy sqrtm).
+
+    tr sqrt(Σ1 Σ2) = Σ sqrt(eig(Σ1 Σ2)); since Σ1 Σ2 is similar to the
+    symmetric √Σ1 Σ2 √Σ1, compute eigenvalues of that PSD matrix instead.
+    Use when embeddings stay on device (e.g. inside a jit eval loop); the
+    host scipy path remains the reference.
+    """
+    import jax.numpy as jnp
+
+    diff = mu1 - mu2
+    # √Σ1 via eigh
+    w1, v1 = jnp.linalg.eigh(sigma1)
+    sqrt1 = (v1 * jnp.sqrt(jnp.clip(w1, 0.0, None))) @ v1.T
+    inner = sqrt1 @ sigma2 @ sqrt1
+    w = jnp.linalg.eigvalsh(inner)
+    tr_covmean = jnp.sum(jnp.sqrt(jnp.clip(w, 0.0, None)))
+    return diff @ diff + jnp.trace(sigma1) + jnp.trace(sigma2) - 2 * tr_covmean
+
+
 def get_metric_statistics(values: np.ndarray, replication_times: int):
     """mean ± 1.96·σ/√n (ref: evaluation.py:172-176)"""
     mean = np.mean(values, axis=0)

@@ -218,3 +218,22 @@ class TestLabeling:
         # target=noise ⇒ nonzero loss either way but A's prediction is closer
         # to zero-mean noise than B's huge bias.
         assert bool(jnp.all(s[:, 0] < s[:, 1]))
+
+
+class TestDeviceFID:
+    def test_matches_scipy_path(self):
+        from hig_tpu.eval.metrics import (
+            calculate_activation_statistics, calculate_frechet_distance,
+            frechet_distance_device,
+        )
+
+        rng = np.random.RandomState(0)
+        a = rng.randn(400, 24)
+        b = rng.randn(400, 24) * 1.3 + 0.5
+        mu1, c1 = calculate_activation_statistics(a)
+        mu2, c2 = calculate_activation_statistics(b)
+        want = calculate_frechet_distance(mu1, c1, mu2, c2)
+        got = float(frechet_distance_device(
+            jnp.asarray(mu1), jnp.asarray(c1), jnp.asarray(mu2), jnp.asarray(c2)
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-3)

@@ -272,3 +272,19 @@ class TestFullModelConversion:
         merged = tp.merge_params(init["params"], tp.convert_motion_encoder(sd, 2))
         logits, emb = model.apply({"params": merged}, x, jnp.full((1,), 8, jnp.int32))
         assert logits.shape == (1, 26)
+
+
+class TestTorchTarLoader:
+    def test_load_torch_state_dict(self, tmp_path):
+        sd = {"joint_embed.weight": torch.randn(16, 263),
+              "joint_embed.bias": torch.randn(16)}
+        path = str(tmp_path / "latest.tar")
+        torch.save({"encoder": sd, "ep": 7, "total_it": 99}, path)
+        loaded = tp.load_torch_state_dict(path)
+        assert set(loaded) == set(sd)
+        assert loaded["joint_embed.weight"].shape == (16, 263)
+        # raw state_dict files (best_eval_model.pth style) also load
+        path2 = str(tmp_path / "best.pth")
+        torch.save(sd, path2)
+        loaded2 = tp.load_torch_state_dict(path2)
+        assert set(loaded2) == set(sd)
