@@ -150,3 +150,45 @@ class TestCodec:
         feats = jnp.asarray(GOLD["codec_features"])[None].repeat(3, axis=0)
         rec = codec.recover_from_ric(feats, 22)
         assert rec.shape == (3, feats.shape[1], 22, 3)
+
+
+class TestKitCodec:
+    def test_kit_roundtrip(self):
+        """KIT 21-joint skeleton: FK synthetic motion → encode → decode."""
+        from hig_tpu.utils import quaternions as q
+        from hig_tpu.utils import skeleton as sk
+        from hig_tpu.utils.kinematics import KIT_KINEMATIC_CHAIN, KIT_RAW_OFFSETS
+        from hig_tpu.utils.motion_codec import kit_spec, process_file, recover_from_ric
+
+        spec = kit_spec()
+        rng = np.random.RandomState(0)
+        J, T = 21, 24
+        bone = 0.2 + 0.1 * rng.rand(J)
+        bone[0] = 0.0
+        rest = KIT_RAW_OFFSETS * bone[:, None]
+        t_axis = np.linspace(0, 2 * np.pi, T)
+        angles = 0.2 * np.sin(t_axis[:, None, None] * rng.uniform(0.5, 1.5, (1, J, 3)))
+        axis = rng.randn(J, 3)
+        axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+        quat = np.array(q.expmap_to_quaternion((angles * axis).reshape(-1, 3)))
+        quat = quat.reshape(T, J, 4)
+        quat = quat / np.linalg.norm(quat, axis=-1, keepdims=True)
+        root = np.stack(
+            [0.3 * np.sin(t_axis), np.full(T, 1.0), 0.5 * t_axis / np.pi], axis=-1
+        ).astype(np.float32)
+        joints = sk.forward_kinematics(
+            jnp.asarray(quat, jnp.float32), jnp.asarray(root),
+            jnp.asarray(rest, jnp.float32), KIT_KINEMATIC_CHAIN,
+        )
+        # yaw the whole motion off the -Z facing: qbetween (like the
+        # reference's) is degenerate for exactly antiparallel vectors
+        yaw = jnp.asarray([np.cos(1.2), 0.0, np.sin(1.2), 0.0], jnp.float32)
+        joints = q.qrot(jnp.broadcast_to(yaw, joints.shape[:-1] + (4,)), joints)
+        feats, canonical = process_file(
+            joints, 0.05, jnp.asarray(rest, jnp.float32), spec
+        )
+        assert feats.shape == (T - 1, 251)
+        rec = recover_from_ric(feats, 21)
+        np.testing.assert_allclose(
+            np.asarray(rec), np.asarray(canonical[:-1]), atol=2e-2
+        )
