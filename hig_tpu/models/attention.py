@@ -91,6 +91,47 @@ def efficient_attention(
     return y.reshape(y.shape[:-2] + (D,))
 
 
+def causal_efficient_attention(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    num_heads: int,
+    key_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Causal variant of the linear-attention family (--causal).
+
+    The reference parses --causal but never consumes it anywhere
+    (base_options.py:19 — grep-verified dead); this defines real semantics:
+    position i's K-softmax normalizes over j ≤ i only, so
+    y_i = softmax_feat(q_i) · Σ_{j≤i} exp(k_j) ⊗ v_j / Σ_{j≤i} exp(k_j),
+    computed with cumulative sums (still O(T·d²) FLOPs; materializes the
+    running (T, H, dh, dh) state, so intended for ablations, not the hot
+    sampling path). A global max-subtraction stabilizes exp and cancels
+    exactly in the ratio.
+    """
+    D = query.shape[-1]
+    q = _split_heads(query, num_heads)
+    if key_mask is not None:
+        key = key + (1.0 - key_mask[..., None]) * -1000000.0
+        value = value * key_mask[..., None]
+    k = _split_heads(key, num_heads)
+    v = _split_heads(value, num_heads)
+    q = jax.nn.softmax(q, axis=-1)
+    k = jnp.exp(k - jax.lax.stop_gradient(jnp.max(k, axis=-3, keepdims=True)))
+    S = jnp.cumsum(jnp.einsum("...nhd,...nhl->...nhdl", k, v), axis=-4)
+    z = jnp.cumsum(k, axis=-3)  # (..., n, h, d)
+    A = S / jnp.maximum(z[..., None], 1e-30)
+    y = jnp.einsum("...nhd,...nhdl->...nhl", q, A)
+    return y.reshape(y.shape[:-2] + (D,))
+
+
+def causal_bias(T: int, dtype=jnp.float32) -> jax.Array:
+    """(T, T, 1) additive logit bias masking j > i (for quadratic --causal)."""
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    return ((j > i) * -1000000.0).astype(dtype)[..., None]
+
+
 def quadratic_attention(
     query: jax.Array,
     key: jax.Array,
@@ -122,12 +163,13 @@ class EfficientSelfAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_pallas: bool = False
+    causal: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb, src_mask, deterministic: bool = True):
         xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        if self.use_pallas:
+        if self.use_pallas and not self.causal:
             D = self.latent_dim
             qkv = (
                 _DenseParams(D, D, name="query")(),
@@ -139,14 +181,26 @@ class EfficientSelfAttention(nn.Module):
             q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
             k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xn)
             v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xn)
-            y = efficient_attention(q, k, v, self.num_heads, key_mask=src_mask)
+            attend = causal_efficient_attention if self.causal else efficient_attention
+            y = attend(q, k, v, self.num_heads, key_mask=src_mask)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic
         )
 
 
 class EfficientCrossAttention(nn.Module):
-    """Text cross-attention. (ref: LinearTemporalCrossAttention, :132-165)"""
+    """Text cross-attention. (ref: LinearTemporalCrossAttention, :132-165)
+
+    Because linear attention factors as softmax(Q)·[softmax(K)ᵀV] and the
+    text tokens are constant across every step of a sampling scan, the whole
+    KᵀV product is loop-invariant. :meth:`kv` computes it once (per layer,
+    a tiny (..., H, dh, dh) tensor); :meth:`from_kv` is the per-step body —
+    one Q projection and one small einsum. This removes the text K/V
+    projections, the text LayerNorm, and the KᵀV contraction from the hot
+    1000-step loop (the reference recomputes them every step,
+    gaussian_diffusion.py:747-769 → interaction_transformer.py:361).
+    The prior Pallas fused path for this block is superseded by the hoist.
+    """
 
     latent_dim: int
     text_latent_dim: int
@@ -155,27 +209,31 @@ class EfficientCrossAttention(nn.Module):
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.norm = nn.LayerNorm(dtype=self.dtype)
+        self.text_norm = nn.LayerNorm(dtype=self.dtype)
+        self.query = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.key = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.value = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.proj_out = StylizationBlock(self.latent_dim, self.dropout, self.dtype)
+
+    def kv(self, xf: jax.Array) -> jax.Array:
+        """Loop-invariant text KᵀV product: (..., L, Dt) → (..., H, dh, dh)."""
+        xfn = self.text_norm(xf)
+        k = _split_heads(self.key(xfn), self.num_heads)
+        v = _split_heads(self.value(xfn), self.num_heads)
+        k = jax.nn.softmax(k, axis=-3)  # over the text-token axis
+        return jnp.einsum("...nhd,...nhl->...hdl", k, v)
+
+    def from_kv(self, x, kv, emb, deterministic: bool = True):
+        q = _split_heads(self.query(self.norm(x)), self.num_heads)
+        q = jax.nn.softmax(q, axis=-1)
+        y = jnp.einsum("...nhd,...hdl->...nhl", q, kv)
+        y = y.reshape(y.shape[:-2] + (self.latent_dim,))
+        return x + self.proj_out(y, emb, deterministic)
+
     def __call__(self, x, xf, emb, deterministic: bool = True):
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        xfn = nn.LayerNorm(dtype=self.dtype, name="text_norm")(xf)
-        if self.use_pallas:
-            D = self.latent_dim
-            Dt = xf.shape[-1]
-            qkv = (
-                _DenseParams(D, D, name="query")(),
-                _DenseParams(Dt, D, name="key")(),
-                _DenseParams(Dt, D, name="value")(),
-            )
-            y = _fused_projected(xn, xfn, qkv, self.num_heads)
-        else:
-            q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
-            k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xfn)
-            v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xfn)
-            y = efficient_attention(q, k, v, self.num_heads)
-        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
-            y, emb, deterministic
-        )
+        return self.from_kv(x, self.kv(xf), emb, deterministic)
 
 
 class EfficientInteractionAttention(nn.Module):
@@ -193,6 +251,7 @@ class EfficientInteractionAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_pallas: bool = False
+    causal: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -205,7 +264,7 @@ class EfficientInteractionAttention(nn.Module):
         pn = jnp.flip(xn, axis=1)
         mask = jnp.broadcast_to(src_mask, x.shape[:-1])
         pmask = jnp.flip(mask, axis=1)
-        if self.use_pallas:
+        if self.use_pallas and not self.causal:
             D = self.latent_dim
             qkv = (
                 _DenseParams(D, D, name="query")(),
@@ -217,7 +276,8 @@ class EfficientInteractionAttention(nn.Module):
             q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
             k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(pn)
             v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(pn)
-            y = efficient_attention(q, k, v, self.num_heads, key_mask=pmask)
+            attend = causal_efficient_attention if self.causal else efficient_attention
+            y = attend(q, k, v, self.num_heads, key_mask=pmask)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic
         )
@@ -235,6 +295,7 @@ class QuadraticSelfAttention(nn.Module):
     latent_dim: int
     num_heads: int
     dropout: float = 0.0
+    causal: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -245,6 +306,8 @@ class QuadraticSelfAttention(nn.Module):
         v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xn)
         mask = jnp.broadcast_to(src_mask, x.shape[:-1])
         bias = (1.0 - mask)[..., None, :, None] * -1000000.0
+        if self.causal:
+            bias = bias + causal_bias(x.shape[-2], bias.dtype)
         y = quadratic_attention(q, k, v, self.num_heads, logit_bias=bias)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic
@@ -252,7 +315,11 @@ class QuadraticSelfAttention(nn.Module):
 
 
 class QuadraticCrossAttention(nn.Module):
-    """(ref: TemporalCrossAttention, interaction_transformer.py:299-332)"""
+    """(ref: TemporalCrossAttention, interaction_transformer.py:299-332)
+
+    Same loop-invariance as the linear block: projected text K/V are
+    precomputable via :meth:`kv`; only the softmax depends on Q.
+    """
 
     latent_dim: int
     text_latent_dim: int
@@ -260,17 +327,26 @@ class QuadraticCrossAttention(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, xf, emb, deterministic: bool = True):
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        xfn = nn.LayerNorm(dtype=self.dtype, name="text_norm")(xf)
-        q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
-        k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xfn)
-        v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xfn)
+    def setup(self):
+        self.norm = nn.LayerNorm(dtype=self.dtype)
+        self.text_norm = nn.LayerNorm(dtype=self.dtype)
+        self.query = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.key = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.value = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.proj_out = StylizationBlock(self.latent_dim, self.dropout, self.dtype)
+
+    def kv(self, xf: jax.Array) -> tuple[jax.Array, jax.Array]:
+        xfn = self.text_norm(xf)
+        return self.key(xfn), self.value(xfn)
+
+    def from_kv(self, x, kv, emb, deterministic: bool = True):
+        k, v = kv
+        q = self.query(self.norm(x))
         y = quadratic_attention(q, k, v, self.num_heads)
-        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
-            y, emb, deterministic
-        )
+        return x + self.proj_out(y, emb, deterministic)
+
+    def __call__(self, x, xf, emb, deterministic: bool = True):
+        return self.from_kv(x, self.kv(xf), emb, deterministic)
 
 
 class QuadraticInteractionAttention(nn.Module):
@@ -279,6 +355,7 @@ class QuadraticInteractionAttention(nn.Module):
     latent_dim: int
     num_heads: int
     dropout: float = 0.0
+    causal: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -291,6 +368,8 @@ class QuadraticInteractionAttention(nn.Module):
         v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(text_norm(partner))
         mask = jnp.broadcast_to(src_mask, x.shape[:-1])
         bias = (1.0 - jnp.flip(mask, axis=1))[..., None, :, None] * -100000.0
+        if self.causal:  # attend only to the partner's past
+            bias = bias + causal_bias(x.shape[-2], bias.dtype)
         y = quadratic_attention(q, k, v, self.num_heads, logit_bias=bias)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic

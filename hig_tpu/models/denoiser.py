@@ -51,36 +51,51 @@ class InteractionDenoiserLayer(nn.Module):
     efficient: bool = True
     interaction: bool = True
     use_pallas: bool = False
+    causal: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, xf_out, emb, src_mask, deterministic: bool = True):
+    def setup(self):
         kw = dict(dropout=self.dropout, dtype=self.dtype)
         if self.efficient:
-            x = EfficientSelfAttention(self.latent_dim, self.num_heads, use_pallas=self.use_pallas, name="sa_block", **kw)(
-                x, emb, src_mask, deterministic
+            self.sa_block = EfficientSelfAttention(
+                self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
+                causal=self.causal, **kw
             )
-            x = EfficientCrossAttention(
+            self.ca_block = EfficientCrossAttention(
                 self.latent_dim, self.text_latent_dim, self.num_heads,
-                use_pallas=self.use_pallas, name="ca_block", **kw
-            )(x, xf_out, emb, deterministic)
-            if self.interaction:
-                x = EfficientInteractionAttention(
-                    self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
-                    name="int_ca_block", **kw
-                )(x, emb, src_mask, deterministic)
-        else:
-            x = QuadraticSelfAttention(self.latent_dim, self.num_heads, name="sa_block", **kw)(
-                x, emb, src_mask, deterministic
+                use_pallas=self.use_pallas, **kw
             )
-            x = QuadraticCrossAttention(
-                self.latent_dim, self.text_latent_dim, self.num_heads, name="ca_block", **kw
-            )(x, xf_out, emb, deterministic)
             if self.interaction:
-                x = QuadraticInteractionAttention(
-                    self.latent_dim, self.num_heads, name="int_ca_block", **kw
-                )(x, emb, src_mask, deterministic)
-        return FFN(self.latent_dim, self.ff_size, name="ffn", **kw)(x, emb, deterministic)
+                self.int_ca_block = EfficientInteractionAttention(
+                    self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
+                    causal=self.causal, **kw
+                )
+        else:
+            self.sa_block = QuadraticSelfAttention(
+                self.latent_dim, self.num_heads, causal=self.causal, **kw
+            )
+            self.ca_block = QuadraticCrossAttention(
+                self.latent_dim, self.text_latent_dim, self.num_heads, **kw
+            )
+            if self.interaction:
+                self.int_ca_block = QuadraticInteractionAttention(
+                    self.latent_dim, self.num_heads, causal=self.causal, **kw
+                )
+        self.ffn = FFN(self.latent_dim, self.ff_size, **kw)
+
+    def text_kv(self, xf_out):
+        """This layer's loop-invariant text cross-attention state."""
+        return self.ca_block.kv(xf_out)
+
+    def __call__(self, x, xf_out, emb, src_mask, deterministic: bool = True, text_kv=None):
+        x = self.sa_block(x, emb, src_mask, deterministic)
+        if text_kv is None:
+            x = self.ca_block(x, xf_out, emb, deterministic)
+        else:
+            x = self.ca_block.from_kv(x, text_kv, emb, deterministic)
+        if self.interaction:
+            x = self.int_ca_block(x, emb, src_mask, deterministic)
+        return self.ffn(x, emb, deterministic)
 
 
 class InteractionDenoiser(nn.Module):
@@ -114,42 +129,17 @@ class InteractionDenoiser(nn.Module):
     def time_embed_dim(self) -> int:
         return self.latent_dim * 4
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jax.Array,
-        timesteps: jax.Array,
-        lengths: jax.Array,
-        xf_proj: jax.Array,
-        xf_out: jax.Array,
-        deterministic: bool = True,
-    ) -> jax.Array:
-        B, A, T, D_in = x.shape
-        assert A == 2, "actor axis must be 2"
-
-        seq_emb = self.param(
+    def setup(self):
+        self.sequence_embedding = self.param(
             "sequence_embedding",
             nn.initializers.normal(1.0),
             (self.num_frames, self.latent_dim),
         )
-        joint_embed = nn.Dense(self.latent_dim, dtype=self.dtype, name="joint_embed")
-        init_embed = nn.Dense(self.latent_dim, dtype=self.dtype, name="joint_embed2")
-
-        move = joint_embed(x[:, :, 1:]) + seq_emb[: T - 1].astype(self.dtype)
-        init = init_embed(x[:, :, 0, :4])
-        h = jnp.concatenate([init[:, :, None, :], move], axis=2)
-
-        emb = (
-            TimeEmbedMLP(self.latent_dim, self.time_embed_dim, self.dtype, name="time_embed")(
-                timesteps
-            )[:, None, :]
-            + xf_proj
-        )
-
-        src_mask = length_mask(lengths, T, self.dtype)[:, None, :]  # (B, 1, T)
-
-        for i in range(self.num_layers):
-            h = InteractionDenoiserLayer(
+        self.joint_embed = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.joint_embed2 = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.time_embed = TimeEmbedMLP(self.latent_dim, self.time_embed_dim, self.dtype)
+        self.layers = [
+            InteractionDenoiserLayer(
                 latent_dim=self.latent_dim,
                 text_latent_dim=self.text_latent_dim,
                 ff_size=self.ff_size,
@@ -160,15 +150,51 @@ class InteractionDenoiser(nn.Module):
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"layer_{i}",
-            )(h, xf_out, emb, src_mask, deterministic)
+            )
+            for i in range(self.num_layers)
+        ]
+        self.out = nn.Dense(
+            self.input_feats, kernel_init=nn.initializers.zeros, dtype=self.dtype
+        )
+        self.out2 = nn.Dense(
+            self.input_feats, kernel_init=nn.initializers.zeros, dtype=self.dtype
+        )
 
-        out = nn.Dense(
-            self.input_feats, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="out"
+    def text_kv(self, xf_out) -> tuple:
+        """Per-layer loop-invariant text cross-attention state — compute once
+        per sampling call, pass to :meth:`__call__` for every scan step."""
+        return tuple(layer.text_kv(xf_out) for layer in self.layers)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        lengths: jax.Array,
+        xf_proj: jax.Array,
+        xf_out: jax.Array | None,
+        deterministic: bool = True,
+        text_kv: tuple | None = None,
+    ) -> jax.Array:
+        B, A, T, D_in = x.shape
+        assert A == 2, "actor axis must be 2"
+
+        move = self.joint_embed(x[:, :, 1:]) + self.sequence_embedding[: T - 1].astype(
+            self.dtype
         )
-        out2 = nn.Dense(
-            self.input_feats, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="out2"
-        )
-        return jnp.concatenate([out2(h[:, :, :1]), out(h[:, :, 1:])], axis=2)
+        init = self.joint_embed2(x[:, :, 0, :4])
+        h = jnp.concatenate([init[:, :, None, :], move], axis=2)
+
+        emb = self.time_embed(timesteps)[:, None, :] + xf_proj
+
+        src_mask = length_mask(lengths, T, self.dtype)[:, None, :]  # (B, 1, T)
+
+        for i, layer in enumerate(self.layers):
+            h = layer(
+                h, xf_out, emb, src_mask, deterministic,
+                text_kv=None if text_kv is None else text_kv[i],
+            )
+
+        return jnp.concatenate([self.out2(h[:, :, :1]), self.out(h[:, :, 1:])], axis=2)
 
 
 class SinglePersonDenoiserLayer(nn.Module):
@@ -183,25 +209,33 @@ class SinglePersonDenoiserLayer(nn.Module):
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, xf_out, emb, src_mask, deterministic: bool = True):
+    def setup(self):
         kw = dict(dropout=self.dropout, dtype=self.dtype)
         if self.efficient:
-            x = EfficientSelfAttention(self.latent_dim, self.num_heads, use_pallas=self.use_pallas, name="sa_block", **kw)(
-                x, emb, src_mask, deterministic
+            self.sa_block = EfficientSelfAttention(
+                self.latent_dim, self.num_heads, use_pallas=self.use_pallas, **kw
             )
-            x = EfficientCrossAttention(
+            self.ca_block = EfficientCrossAttention(
                 self.latent_dim, self.text_latent_dim, self.num_heads,
-                use_pallas=self.use_pallas, name="ca_block", **kw
-            )(x, xf_out, emb, deterministic)
-        else:
-            x = QuadraticSelfAttention(self.latent_dim, self.num_heads, name="sa_block", **kw)(
-                x, emb, src_mask, deterministic
+                use_pallas=self.use_pallas, **kw
             )
-            x = QuadraticCrossAttention(
-                self.latent_dim, self.text_latent_dim, self.num_heads, name="ca_block", **kw
-            )(x, xf_out, emb, deterministic)
-        return FFN(self.latent_dim, self.ff_size, name="ffn", **kw)(x, emb, deterministic)
+        else:
+            self.sa_block = QuadraticSelfAttention(self.latent_dim, self.num_heads, **kw)
+            self.ca_block = QuadraticCrossAttention(
+                self.latent_dim, self.text_latent_dim, self.num_heads, **kw
+            )
+        self.ffn = FFN(self.latent_dim, self.ff_size, **kw)
+
+    def text_kv(self, xf_out):
+        return self.ca_block.kv(xf_out)
+
+    def __call__(self, x, xf_out, emb, src_mask, deterministic: bool = True, text_kv=None):
+        x = self.sa_block(x, emb, src_mask, deterministic)
+        if text_kv is None:
+            x = self.ca_block(x, xf_out, emb, deterministic)
+        else:
+            x = self.ca_block.from_kv(x, text_kv, emb, deterministic)
+        return self.ffn(x, emb, deterministic)
 
 
 class MotionDenoiser(nn.Module):
@@ -226,33 +260,16 @@ class MotionDenoiser(nn.Module):
     def time_embed_dim(self) -> int:
         return self.latent_dim * 4
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jax.Array,
-        timesteps: jax.Array,
-        lengths: jax.Array,
-        xf_proj: jax.Array,
-        xf_out: jax.Array,
-        deterministic: bool = True,
-    ) -> jax.Array:
-        B, T, _ = x.shape
-        seq_emb = self.param(
+    def setup(self):
+        self.sequence_embedding = self.param(
             "sequence_embedding",
             nn.initializers.normal(1.0),
             (self.num_frames, self.latent_dim),
         )
-        h = nn.Dense(self.latent_dim, dtype=self.dtype, name="joint_embed")(x)
-        h = h + seq_emb[:T].astype(self.dtype)
-        emb = (
-            TimeEmbedMLP(self.latent_dim, self.time_embed_dim, self.dtype, name="time_embed")(
-                timesteps
-            )
-            + xf_proj
-        )
-        src_mask = length_mask(lengths, T, self.dtype)
-        for i in range(self.num_layers):
-            h = SinglePersonDenoiserLayer(
+        self.joint_embed = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.time_embed = TimeEmbedMLP(self.latent_dim, self.time_embed_dim, self.dtype)
+        self.layers = [
+            SinglePersonDenoiserLayer(
                 latent_dim=self.latent_dim,
                 text_latent_dim=self.text_latent_dim,
                 ff_size=self.ff_size,
@@ -262,7 +279,33 @@ class MotionDenoiser(nn.Module):
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"layer_{i}",
-            )(h, xf_out, emb, src_mask, deterministic)
-        return nn.Dense(
-            self.input_feats, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="out"
-        )(h)
+            )
+            for i in range(self.num_layers)
+        ]
+        self.out = nn.Dense(
+            self.input_feats, kernel_init=nn.initializers.zeros, dtype=self.dtype
+        )
+
+    def text_kv(self, xf_out) -> tuple:
+        return tuple(layer.text_kv(xf_out) for layer in self.layers)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        lengths: jax.Array,
+        xf_proj: jax.Array,
+        xf_out: jax.Array | None,
+        deterministic: bool = True,
+        text_kv: tuple | None = None,
+    ) -> jax.Array:
+        B, T, _ = x.shape
+        h = self.joint_embed(x) + self.sequence_embedding[:T].astype(self.dtype)
+        emb = self.time_embed(timesteps) + xf_proj
+        src_mask = length_mask(lengths, T, self.dtype)
+        for i, layer in enumerate(self.layers):
+            h = layer(
+                h, xf_out, emb, src_mask, deterministic,
+                text_kv=None if text_kv is None else text_kv[i],
+            )
+        return self.out(h)

@@ -118,16 +118,24 @@ class InteractionModel(nn.Module):
 
     # --- denoising ---------------------------------------------------------
 
+    def text_kv(self, xf_out: jax.Array) -> tuple:
+        """Per-layer loop-invariant text cross-attention state (hoist this
+        out of the sampling scan — the text tokens never change)."""
+        return self.denoiser.text_kv(xf_out)
+
     def denoise(
         self,
         x: jax.Array,
         timesteps: jax.Array,
         lengths: jax.Array,
         xf_proj: jax.Array,
-        xf_out: jax.Array,
+        xf_out: jax.Array | None,
         deterministic: bool = True,
+        text_kv: tuple | None = None,
     ) -> jax.Array:
-        return self.denoiser(x, timesteps, lengths, xf_proj, xf_out, deterministic)
+        return self.denoiser(
+            x, timesteps, lengths, xf_proj, xf_out, deterministic, text_kv=text_kv
+        )
 
     def __call__(
         self,
@@ -196,8 +204,14 @@ class SingleMotionModel(nn.Module):
     def encode_text(self, tokens: jax.Array, deterministic: bool = True):
         return self.text(tokens, deterministic)
 
-    def denoise(self, x, timesteps, lengths, xf_proj, xf_out, deterministic=True):
-        return self.denoiser(x, timesteps, lengths, xf_proj, xf_out, deterministic)
+    def text_kv(self, xf_out: jax.Array) -> tuple:
+        return self.denoiser.text_kv(xf_out)
+
+    def denoise(self, x, timesteps, lengths, xf_proj, xf_out, deterministic=True,
+                text_kv=None):
+        return self.denoiser(
+            x, timesteps, lengths, xf_proj, xf_out, deterministic, text_kv=text_kv
+        )
 
     def __call__(self, x, timesteps, lengths, tokens, deterministic=True):
         xf_proj, xf_out = self.encode_text(tokens, deterministic)

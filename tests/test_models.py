@@ -108,6 +108,19 @@ class TestInteractionDenoiser:
             np.asarray(out_sw), np.asarray(jnp.flip(out, 1)), atol=1e-5
         )
 
+    @pytest.mark.parametrize("efficient", [True, False])
+    def test_text_kv_hoist_matches_direct(self, interaction_model, efficient):
+        """Precomputed per-layer text-KV (the sampling-scan hoist) must be
+        numerically identical to recomputing text K/V inside the call."""
+        model, _, (x, t, lengths, xf_proj, xf_out) = interaction_model
+        if not efficient:
+            model = InteractionDenoiser(**{**TINY, "efficient": False})
+        params = self._random_params(model, (x, t, lengths, xf_proj, xf_out))
+        direct = model.apply(params, x, t, lengths, xf_proj, xf_out)
+        kv = model.apply(params, xf_out, method=InteractionDenoiser.text_kv)
+        hoisted = model.apply(params, x, t, lengths, xf_proj, None, text_kv=kv)
+        np.testing.assert_allclose(np.asarray(hoisted), np.asarray(direct), atol=1e-6)
+
     def test_quadratic_variant_runs(self):
         model = InteractionDenoiser(**{**TINY, "efficient": False})
         B, T = 2, 12

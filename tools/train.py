@@ -68,11 +68,22 @@ def main():
         merged = tp.merge_params(state.params["params"], converted)
         state = _dc.replace(state, params={**state.params, "params": merged})
         print(f"loaded pretrained weights from {args.pretrained_path}")
+    start_epoch = 0
     if cfg.is_continue:
         state, epoch, it = ckpt.restore_state(pjoin(cfg.model_dir, "latest"), state)
         state = trainer.place_state(state)
+        # resume the epoch loop where it stopped (ref: mul_ddpm_trainer.py:310
+        # iterates range(cur_epoch, num_epochs))
+        start_epoch = epoch
         print(f"resumed from epoch {epoch}, it {it}")
-    trainer.train(dataset, state)
+
+    val_dataset = None
+    if cfg.eval_every_e > 0 and os.path.exists(pjoin(cfg.data_root, "val_sub.txt")):
+        val_dataset = PairDataset(
+            cfg, mean, std, "val_sub.txt", times=1,
+            label_path=cfg.label_path, seed=cfg.seed,
+        )
+    trainer.train(dataset, state, start_epoch=start_epoch, val_dataset=val_dataset)
 
 
 if __name__ == "__main__":
