@@ -60,6 +60,13 @@ class ExperimentConfig:
     no_cross_attn: bool = False
     label_model: bool = False
     dropout: float = 0.0
+    # --causal / --single_transformer are parsed-but-dead in the reference
+    # (base_options.py:19,21 — grep-verified unconsumed); here they are real:
+    # causal masks attention to the past, single_transformer swaps the layer
+    # stack for the baseline layer over the concatenated two-actor timeline
+    # (ref interaction_transformer.py:618-639).
+    causal: bool = False
+    single_transformer: bool = False
 
     # optimization (ref: train_options.py:15-28)
     num_epochs: int = 50
@@ -96,6 +103,16 @@ class ExperimentConfig:
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     window_size: int = 90  # training window frames (ref: mul_dataset.py:186)
+    # multi-host: call jax.distributed.initialize at CLI entry (the
+    # reference's --distributed SLURM path, base_options.py:77-78)
+    distributed: bool = False
+    # FSDP: shard params + optimizer state on the mesh's model axis
+    fsdp: bool = False
+    # capture a jax.profiler trace of training steps into save_root/profile
+    profile: bool = False
+    # importance-sample timesteps by recent loss second moment
+    # (ref: LossSecondMomentResampler, gaussian_diffusion.py:123 — dormant there)
+    loss_aware_sampler: bool = False
 
     # dataset-derived (filled by add_dataset_paths; ref get_opt.py:63-94)
     joints_num: int = 22

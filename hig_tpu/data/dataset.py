@@ -307,6 +307,8 @@ class SingleMotionDataset:
         self.mean, self.std = mean, std
         with open(pjoin(cfg.data_root, split_file)) as f:
             names = [l.strip() for l in f if l.strip()]
+        # HumanML3D/KIT min lengths (ref dataset.py:21-27); fps 20
+        min_len = {"t2m": 40, "kit": 24}.get(cfg.dataset_name, 24)
         self.clips = []
         for name in names:
             npy = pjoin(cfg.motion_dir, name + ".npy")
@@ -317,12 +319,38 @@ class SingleMotionDataset:
             if motion.ndim != 2:
                 continue
             rows = len(motion)
-            if rows < 24 or rows >= 200:
+            if rows < min_len or rows >= 200:
                 continue
-            captions = [l.strip().split("#")[0] for l in open(txt) if l.strip()]
-            self.clips.append(
-                Clip(name=name, motion=motion, length=rows, texts=captions, class_id=0)
-            )
+            # caption#tokens#f_tag#to_tag lines: zero tags → caption of the
+            # whole clip; nonzero tags → the caption describes only the
+            # [f_tag*20, to_tag*20) segment, which becomes its own pseudo-clip
+            # (ref dataset.py:46-73). The trailing init row rides along.
+            captions = []
+            for seg_i, line in enumerate(open(txt)):
+                if not line.strip():
+                    continue
+                parts = line.strip().split("#")
+                caption = parts[0]
+                f_tag = float(parts[2]) if len(parts) > 2 and parts[2] else 0.0
+                to_tag = float(parts[3]) if len(parts) > 3 and parts[3] else 0.0
+                f_tag = 0.0 if np.isnan(f_tag) else f_tag
+                to_tag = 0.0 if np.isnan(to_tag) else to_tag
+                if f_tag == 0.0 and to_tag == 0.0:
+                    captions.append(caption)
+                else:
+                    seg = motion[int(f_tag * 20) : int(to_tag * 20)]
+                    if len(seg) < min_len or len(seg) >= 200:
+                        continue
+                    seg = np.concatenate([seg, motion[-1:]], axis=0)  # keep init row
+                    self.clips.append(
+                        Clip(name=f"S{seg_i}_{name}", motion=seg, length=len(seg),
+                             texts=[caption], class_id=0)
+                    )
+            if captions:
+                self.clips.append(
+                    Clip(name=name, motion=motion, length=rows, texts=captions,
+                         class_id=0)
+                )
         self.clips.sort(key=lambda c: c.length)
 
     def real_len(self):
@@ -403,11 +431,26 @@ def epoch_batches(
     shuffle: bool = True,
     drop_last: bool = True,
     seed: int = 0,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ):
     """Deterministic epoch iterator with round-up padding, matching the
     reference's epoch-seeded DistributedSampler semantics
-    (dataloader.py:16-53). Yields collated dicts of global batches — batch
-    sharding across devices happens in the trainer via NamedSharding."""
+    (dataloader.py:16-53). ``batch_size`` is the GLOBAL batch; in
+    multi-process runs every process builds the same global order
+    (seed, epoch) but materializes only its contiguous ``batch_size/P``
+    slice of each batch — the per-host sharded feeding that replaces the
+    reference's per-rank DistributedSampler (dataloader.py:96-97). The
+    contiguous-block convention matches the process-major device order of
+    ``parallel.mesh.make_mesh``, so ``shard_batch`` assembles the global
+    array with zero cross-host traffic."""
+    import jax as _jax
+
+    pid = process_index if process_index is not None else _jax.process_index()
+    pcount = process_count if process_count is not None else _jax.process_count()
+    if batch_size % pcount:
+        raise ValueError(f"global batch {batch_size} not divisible by {pcount} processes")
+    local_bs = batch_size // pcount
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
@@ -418,5 +461,6 @@ def epoch_batches(
         pad = batch_size - n % batch_size
         order = np.concatenate([order, order[:pad]])
     for i in range(0, len(order), batch_size):
-        samples = [dataset.__getitem__(int(j), epoch=epoch) for j in order[i : i + batch_size]]
+        local = order[i + pid * local_bs : i + (pid + 1) * local_bs]
+        samples = [dataset.__getitem__(int(j), epoch=epoch) for j in local]
         yield collate(samples)

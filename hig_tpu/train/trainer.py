@@ -33,6 +33,7 @@ import optax
 from hig_tpu.config import ExperimentConfig
 from hig_tpu.diffusion import gaussian as g
 from hig_tpu.models.interaction_model import InteractionModel, model_from_config
+from hig_tpu.parallel import distributed as dist
 from hig_tpu.parallel import mesh as pmesh
 
 
@@ -89,26 +90,34 @@ def per_token_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.concatenate([init[:, :, None], move], axis=-1)
 
 
-def supervised_loss(pred, target, mask) -> jax.Array:
-    """Masked MSE, labels known (ref :225-232). mask: (N, T)."""
+def supervised_loss(pred, target, mask, sample_weights=None) -> tuple[jax.Array, jax.Array]:
+    """Masked MSE, labels known (ref :225-232). mask: (N, T).
+
+    Returns (scalar loss, per-sample summed losses). ``sample_weights``
+    importance-weights each pair's contribution (loss-aware resampling)."""
     per_tok = per_token_loss(pred, target) * mask[:, None, :]
-    return jnp.sum(per_tok) / (2.0 * jnp.sum(mask))
+    per_sample = jnp.sum(per_tok, axis=(1, 2))  # (N,)
+    w = sample_weights if sample_weights is not None else 1.0
+    return jnp.sum(per_sample * w) / (2.0 * jnp.sum(mask)), per_sample
 
 
-def pit_loss(pred, target, mask) -> jax.Array:
+def pit_loss(pred, target, mask, sample_weights=None) -> tuple[jax.Array, jax.Array]:
     """Min-assignment PIT loss (ref :234-242).
 
     pred/target: (B, 2 assignments, 2 actors, T, D); mask (B, T).
     Per assignment: summed masked loss over both actors; per pair: min over
     the two caption assignments; normalized by 2·Σmask (matches the
-    reference's src_mask.sum()/2 with its 4B-row mask).
+    reference's src_mask.sum()/2 with its 4B-row mask). Returns
+    (scalar loss, per-pair min-assignment losses).
     """
     B = pred.shape[0]
     flat = lambda x: x.reshape((B * 2,) + x.shape[2:])
     per_tok = per_token_loss(flat(pred), flat(target))  # (2B, 2, T)
     mask2 = jnp.repeat(mask, 2, axis=0)[:, None, :]
     per_assign = jnp.sum(per_tok * mask2, axis=(1, 2)).reshape(B, 2)
-    return jnp.sum(jnp.min(per_assign, axis=1)) / (2.0 * jnp.sum(mask))
+    per_sample = jnp.min(per_assign, axis=1)  # (B,)
+    w = sample_weights if sample_weights is not None else 1.0
+    return jnp.sum(per_sample * w) / (2.0 * jnp.sum(mask)), per_sample
 
 
 # --------------------------------------------------------------------------
@@ -116,22 +125,41 @@ def pit_loss(pred, target, mask) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def make_loss_fn(model: InteractionModel, sched: g.DiffusionSchedule, pit: bool) -> Callable:
-    """loss_fn(params, batch, rng) -> scalar; shared by the train step and
-    the --eval_every_e validation pass.
+def make_loss_fn(
+    model: InteractionModel,
+    sched: g.DiffusionSchedule,
+    pit: bool,
+    loss_aware: bool = False,
+) -> Callable:
+    """loss_fn(params, batch, rng[, ts_state]) -> (scalar, aux); shared by the
+    train step and the --eval_every_e validation pass.
 
     batch: motion (B,2,T,D); lengths (B,); and one of
     tower_feats (B,2,77,W)+tokens (B,2,77) (frozen tower precomputed),
     tokens (B,2,77) alone (--no_clip: trainable tower runs in the step), or
     cap_ids (B,2).
+
+    With ``loss_aware`` (--loss_aware_sampler) timesteps are drawn from the
+    second-moment resampler's distribution and the loss is importance-
+    weighted (ref: LossSecondMomentResampler, gaussian_diffusion.py:123-160 —
+    dormant upstream). aux carries (t, per-sample losses) for the history
+    update; since the whole batch is global under SPMD, no explicit
+    cross-host all_gather is needed (the reference's :74-106 sync collapses
+    into the jit'd program).
     """
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, ts_state=None):
         motion = batch["motion"]
         B, _, T, _ = motion.shape
         lengths = jnp.minimum(batch["lengths"], T)
         t_rng, n_rng = jax.random.split(rng)
-        t = jax.random.randint(t_rng, (B,), 0, sched.num_timesteps)
+        if loss_aware:
+            from hig_tpu.diffusion import timestep_samplers as tss
+
+            t, is_weights = tss.loss_aware_sample(t_rng, B, ts_state)
+        else:
+            t = jax.random.randint(t_rng, (B,), 0, sched.num_timesteps)
+            is_weights = None
         noise = jax.random.normal(n_rng, motion.shape, motion.dtype)
         x_t, target = g.training_targets(sched, motion, t, noise)
         mask = (jnp.arange(T) < lengths[:, None]).astype(motion.dtype)
@@ -166,7 +194,7 @@ def make_loss_fn(model: InteractionModel, sched: g.DiffusionSchedule, pit: bool)
                 cond = batch["tokens"]
             xf_proj, xf_out = enc(cond)
             pred = denoise(x_t, t, xf_proj, xf_out)
-            loss = supervised_loss(pred, target, mask)
+            loss, per_sample = supervised_loss(pred, target, mask, is_weights)
         else:
             # assignment axis: A=(c1,c2) as labeled, B=(c2,c1) flipped
             if model.cap_id:
@@ -192,8 +220,8 @@ def make_loss_fn(model: InteractionModel, sched: g.DiffusionSchedule, pit: bool)
             target2 = jnp.concatenate([target, target], axis=0)
             # (2B, 2, T, D) → (B, 2assign, 2actor, T, D)
             stack = lambda z: jnp.stack([z[:B], z[B:]], axis=1)
-            loss = pit_loss(stack(pred2), stack(target2), mask)
-        return loss
+            loss, per_sample = pit_loss(stack(pred2), stack(target2), mask, is_weights)
+        return loss, {"t": t, "per_sample": per_sample}
 
     return loss_fn
 
@@ -203,18 +231,45 @@ def make_train_step(
     sched: g.DiffusionSchedule,
     tx: optax.GradientTransformation,
     pit: bool,
+    state_shardings=None,
+    loss_aware: bool = False,
 ) -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, metrics), jittable."""
+    """Returns train_step(state, batch, rng) -> (state, metrics), jittable;
+    with ``loss_aware``: train_step(state, batch, rng, ts_state) ->
+    (state, metrics, ts_state).
 
-    loss_fn = make_loss_fn(model, sched, pit)
+    ``state_shardings`` (a NamedSharding pytree from
+    ``parallel.mesh.state_shardings``) pins the updated state to the FSDP
+    layout so parameters stay model-axis-sharded across steps instead of
+    drifting to whatever the partitioner picks."""
 
-    def train_step(state: TrainState, batch, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+    loss_fn = make_loss_fn(model, sched, pit, loss_aware=loss_aware)
+
+    def _update(state, batch, rng, ts_state):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng, ts_state
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        if state_shardings is not None:
+            new_state = jax.lax.with_sharding_constraint(new_state, state_shardings)
         gnorm = optax.global_norm(grads)
-        return new_state, {"loss_mot_rec": loss, "grad_norm": gnorm}
+        return new_state, {"loss_mot_rec": loss, "grad_norm": gnorm}, aux
+
+    if loss_aware:
+        from hig_tpu.diffusion import timestep_samplers as tss
+
+        def train_step(state: TrainState, batch, rng, ts_state):
+            new_state, metrics, aux = _update(state, batch, rng, ts_state)
+            ts_state = tss.loss_aware_update(ts_state, aux["t"], aux["per_sample"])
+            return new_state, metrics, ts_state
+
+    else:
+
+        def train_step(state: TrainState, batch, rng):
+            new_state, metrics, _ = _update(state, batch, rng, None)
+            return new_state, metrics
 
     return train_step
 
@@ -368,14 +423,27 @@ class Trainer:
             cond = jnp.zeros((1, 2, 77), jnp.int32)
         params = jax.jit(self.model.init)(rng, x, t, lengths, cond)
         self.tx = make_optimizer(self.cfg, params)
-        return TrainState(
+        state = TrainState(
             params=params, opt_state=self.tx.init(params), step=jnp.zeros((), jnp.int32)
         )
+        return self.place_state(state)
+
+    @property
+    def fsdp(self) -> bool:
+        return getattr(self.cfg, "fsdp", False) and self.mesh.shape[pmesh.MODEL_AXIS] > 1
 
     def place_state(self, state: TrainState) -> TrainState:
-        """Re-place a (restored) state replicated over the mesh — orbax
-        restores commit arrays to device 0, which clashes with mesh-sharded
-        batches."""
+        """Place a (fresh or restored) state over the mesh: FSDP-sharded on
+        the model axis when enabled, replicated otherwise. Works in
+        multi-process runs (orbax restores commit arrays to device 0 of each
+        process, which clashes with mesh-wide computation)."""
+        if self.fsdp:
+            return pmesh.shard_state(jax.device_get(state), self.mesh)
+        if jax.process_count() > 1:
+            rep = pmesh.replicated(self.mesh)
+            return jax.tree_util.tree_map(
+                lambda x: pmesh.host_to_global(jax.device_get(x), rep), state
+            )
         return jax.device_put(state, pmesh.replicated(self.mesh))
 
     def precompute_tower(self, params) -> np.ndarray:
@@ -408,8 +476,11 @@ class Trainer:
         np.random.default_rng((seed, epoch)).shuffle(order)
         order = order[: (n // batch_size) * batch_size]
         real = dataset.real_len()
+        # same per-process contiguous-block sharding as data.dataset.epoch_batches
+        pid, pcount = dist.process_index(), dist.process_count()
+        local_bs = batch_size // pcount
         for lo in range(0, len(order), batch_size):
-            idx = order[lo : lo + batch_size] % real
+            idx = order[lo + pid * local_bs : lo + (pid + 1) * local_bs] % real
             motion, lengths = self._native_store.sample_batch(
                 idx, window=self.cfg.window_size, seed=seed, epoch=epoch,
                 swap_flags=self._native_swaps[idx],
@@ -433,11 +504,25 @@ class Trainer:
     ) -> TrainState:
         cfg = self.cfg
         num_epochs = num_epochs or cfg.num_epochs
+        primary = dist.is_primary()
         os.makedirs(cfg.model_dir, exist_ok=True)
         os.makedirs(cfg.meta_dir, exist_ok=True)
+        state_sh = pmesh.state_shardings(state, self.mesh) if self.fsdp else None
+        loss_aware = getattr(cfg, "loss_aware_sampler", False)
+        ts_state = None
+        if loss_aware:
+            from hig_tpu.diffusion.timestep_samplers import LossSecondMomentState
+
+            ts_state = jax.device_put(
+                LossSecondMomentState.create(self.sched.num_timesteps),
+                pmesh.replicated(self.mesh),
+            )
         train_step = jax.jit(
-            make_train_step(self.model, self.sched, self.tx, pit=self.pit),
-            donate_argnums=(0,),
+            make_train_step(
+                self.model, self.sched, self.tx, pit=self.pit,
+                state_shardings=state_sh, loss_aware=loss_aware,
+            ),
+            donate_argnums=(0, 3) if loss_aware else (0,),
         )
         val_loss_fn = jax.jit(make_loss_fn(self.model, self.sched, pit=self.pit))
         tower_feats = None
@@ -472,6 +557,18 @@ class Trainer:
         metrics_path = pjoin(cfg.save_root, "metrics.jsonl")
         start = time.time()
         it = int(state.step)
+        # --profile: capture a device trace of steps [5, 10) of this run
+        # (post-compile, steady-state) into save_root/profile, plus a step-
+        # latency summary at the end (utils/profiling.py; VERDICT r1 #5).
+        profile = getattr(cfg, "profile", False) and primary
+        profile_dir = pjoin(cfg.save_root, "profile")
+        profile_started = profile_stopped = False
+        step_timer = None
+        if profile:
+            from hig_tpu.utils.profiling import StepTimer
+
+            step_timer = StepTimer(items_per_step=cfg.batch_size)
+        steps_run = 0
         logs: dict[str, float] = {}
         # failure recovery: device/runtime faults (e.g. a TPU worker restart)
         # and non-finite losses (the reference runs
@@ -482,7 +579,7 @@ class Trainer:
         ckpt_exists = False
 
         def rollback(reason: str):
-            nonlocal state, it, generation, retries_left
+            nonlocal state, it, generation, retries_left, ts_state
             retries_left -= 1
             generation += 1
             log(f"{reason}; rolling back to latest checkpoint "
@@ -490,18 +587,39 @@ class Trainer:
             fresh = self.init_state()
             state, _, it = ckpt.restore_state(pjoin(cfg.model_dir, "latest"), fresh)
             state = self.place_state(state)
+            if loss_aware:
+                # the history buffer may hold the faulting step's (possibly
+                # non-finite) losses, or have been invalidated by donation
+                from hig_tpu.diffusion.timestep_samplers import LossSecondMomentState
+
+                ts_state = jax.device_put(
+                    LossSecondMomentState.create(self.sched.num_timesteps),
+                    pmesh.replicated(self.mesh),
+                )
 
         for epoch in range(start_epoch, num_epochs):
             for batch in batches_fn(dataset, cfg.batch_size, epoch):
                 step_rng = jax.random.fold_in(
                     jax.random.fold_in(base_rng, it), generation
                 )
+                if profile and not profile_started and steps_run == 5:
+                    os.makedirs(profile_dir, exist_ok=True)
+                    jax.profiler.start_trace(profile_dir)
+                    profile_started = True
                 try:
                     # device faults surface either at dispatch or at the
                     # metric readback below — keep both inside the guard
                     dev_batch = self._device_batch(batch, tower_feats)
-                    new_state, metrics = train_step(state, dev_batch, step_rng)
+                    t_step = time.perf_counter()
+                    if loss_aware:
+                        new_state, metrics, ts_state = train_step(
+                            state, dev_batch, step_rng, ts_state
+                        )
+                    else:
+                        new_state, metrics = train_step(state, dev_batch, step_rng)
                     metrics = {k: float(v) for k, v in metrics.items()}
+                    if step_timer is not None:
+                        step_timer.times.append(time.perf_counter() - t_step)
                     state = new_state
                 except jax.errors.JaxRuntimeError as e:
                     if retries_left <= 0 or not ckpt_exists:
@@ -516,19 +634,25 @@ class Trainer:
                     rollback(f"non-finite loss at it {it} ({metrics})")
                     continue
                 it += 1
+                steps_run += 1
+                if profile_started and not profile_stopped and steps_run >= 10:
+                    jax.profiler.stop_trace()
+                    profile_stopped = True
+                    log(f"device trace written to {profile_dir}")
                 for k, v in metrics.items():
                     logs[k] = logs.get(k, 0.0) + v
                 if it % cfg.log_every == 0:
                     mean = {k: v / cfg.log_every for k, v in logs.items()}
                     logs = {}
                     elapsed = time.time() - start
-                    log(
-                        f"epoch {epoch} it {it} "
-                        + " ".join(f"{k}: {v:.5f}" for k, v in mean.items())
-                        + f" ({elapsed:.0f}s)"
-                    )
-                    with open(metrics_path, "a") as f:
-                        f.write(json.dumps({"it": it, "epoch": epoch, **mean}) + "\n")
+                    if primary:  # rank-0-only observability (ref: rank 0 logs)
+                        log(
+                            f"epoch {epoch} it {it} "
+                            + " ".join(f"{k}: {v:.5f}" for k, v in mean.items())
+                            + f" ({elapsed:.0f}s)"
+                        )
+                        with open(metrics_path, "a") as f:
+                            f.write(json.dumps({"it": it, "epoch": epoch, **mean}) + "\n")
                 if it % cfg.save_latest == 0:
                     # mid-epoch: resuming redoes this (partial) epoch
                     ckpt.save_state(pjoin(cfg.model_dir, "latest"), state, epoch, it)
@@ -544,10 +668,49 @@ class Trainer:
                 )
             if val_dataset is not None and (epoch + 1) % cfg.eval_every_e == 0:
                 val = self._val_loss(val_loss_fn, val_dataset, state, tower_feats, epoch)
-                log(f"epoch {epoch} val_loss: {val:.5f}")
-                with open(metrics_path, "a") as f:
-                    f.write(json.dumps({"it": it, "epoch": epoch, "val_loss": val}) + "\n")
+                if primary:
+                    log(f"epoch {epoch} val_loss: {val:.5f}")
+                    with open(metrics_path, "a") as f:
+                        f.write(
+                            json.dumps({"it": it, "epoch": epoch, "val_loss": val}) + "\n"
+                        )
+        if profile_started and not profile_stopped:
+            jax.profiler.stop_trace()
+        if step_timer is not None and step_timer.times:
+            step_timer.dump(pjoin(cfg.save_root, "step_times.jsonl"))
+            log(f"step latency: {step_timer.summary()}")
+        if primary:
+            self._render_loss_curve(metrics_path)
         return state
+
+    def _render_loss_curve(self, metrics_path: str) -> None:
+        """Loss-curve image from metrics.jsonl (ref renders result_loss.jpg
+        during training, mul_ddpm_trainer.py:329-332)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            its, losses = [], []
+            with open(metrics_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if "loss_mot_rec" in rec:
+                        its.append(rec["it"])
+                        losses.append(rec["loss_mot_rec"])
+            if not its:
+                return
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.plot(its, losses)
+            ax.set_xlabel("iteration")
+            ax.set_ylabel("loss_mot_rec")
+            fig.tight_layout()
+            os.makedirs(pjoin(self.cfg.save_root, "result"), exist_ok=True)
+            fig.savefig(pjoin(self.cfg.save_root, "result", "result_loss.png"), dpi=100)
+            plt.close(fig)
+        except Exception:  # rendering is best-effort observability
+            pass
 
     def _val_loss(
         self, val_loss_fn, val_dataset, state, tower_feats, epoch, max_batches: int = 8
@@ -565,9 +728,8 @@ class Trainer:
             if i >= max_batches:
                 break
             dev_batch = self._device_batch(batch, tower_feats)
-            losses.append(
-                float(val_loss_fn(state.params, dev_batch, jax.random.fold_in(rng, i)))
-            )
+            loss, _ = val_loss_fn(state.params, dev_batch, jax.random.fold_in(rng, i))
+            losses.append(float(loss))
         return float(np.mean(losses)) if losses else float("nan")
 
     def _device_batch(self, batch: dict, tower_feats) -> dict:

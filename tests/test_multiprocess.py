@@ -1,0 +1,85 @@
+"""Multi-host (multi-process) distributed tests.
+
+The reference's distributed layer can only be exercised on a real multi-GPU
+host via mp.spawn (SURVEY.md §2.6/§4). Here two OS processes, each with two
+virtual CPU devices, form a 4-device global mesh through
+``jax.distributed.initialize`` and run the real PIT train step — data
+parallel and FSDP (model-axis parameter/optimizer sharding) both — with
+per-process batch feeding through ``jax.make_array_from_process_local_data``.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_and_fsdp(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    results = []
+    for i in range(2):
+        with open(tmp_path / f"proc{i}.json") as f:
+            results.append(json.load(f))
+
+    for case in ("dp", "fsdp"):
+        r0, r1 = results[0][case], results[1][case]
+        assert r0["global_devices"] == 4
+        # the loss is a global reduction — bitwise identical on every process
+        assert np.isfinite(r0["loss"])
+        assert r0["loss"] == r1["loss"], (case, r0["loss"], r1["loss"])
+        assert r0["global_batch"] == 8  # local 4-row slices reassembled globally
+    # FSDP actually sharded parameters on the model axis
+    assert results[0]["fsdp"]["model_sharded_leaves"] > 0
+
+
+def test_epoch_batches_process_sharding(synth_root):
+    """The per-process slices of every global batch partition it exactly."""
+    from hig_tpu.config import ExperimentConfig, add_dataset_paths
+    from hig_tpu.data.dataset import PairDataset, epoch_batches
+
+    cfg = add_dataset_paths(ExperimentConfig(dataset_name="synthetic_mul"))
+    cfg.data_root = synth_root
+    mean = np.zeros(cfg.dim_pose, np.float32)
+    std = np.ones(cfg.dim_pose, np.float32)
+    ds = PairDataset(cfg, mean, std, "train_sub.txt", times=1, seed=0)
+
+    global_batches = list(epoch_batches(ds, 8, epoch=3, seed=5,
+                                        process_index=0, process_count=1))
+    for pcount in (2, 4):
+        shards = [
+            list(epoch_batches(ds, 8, epoch=3, seed=5,
+                               process_index=p, process_count=pcount))
+            for p in range(pcount)
+        ]
+        assert all(len(s) == len(global_batches) for s in shards)
+        for bi, gb in enumerate(global_batches):
+            stitched = np.concatenate([shards[p][bi]["motion"] for p in range(pcount)])
+            np.testing.assert_array_equal(stitched, gb["motion"])

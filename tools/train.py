@@ -34,9 +34,21 @@ def main():
     args = parser.parse_args()
     cfg = config_from_args(args, is_train=True)
 
+    if cfg.distributed:
+        # multi-host entry: TPU pods autodetect; explicit setups use
+        # HIG_COORDINATOR / HIG_NUM_PROCESSES / HIG_PROCESS_ID
+        # (ref: init_dist('slurm'), base_options.py:77-78)
+        from hig_tpu.parallel import distributed as dist
+
+        dist.initialize()
+        print(f"process {dist.process_index()}/{dist.process_count()}, "
+              f"{len(__import__('jax').devices())} global devices")
+
     os.makedirs(cfg.model_dir, exist_ok=True)
     os.makedirs(cfg.meta_dir, exist_ok=True)
-    save_opt_txt(cfg, pjoin(cfg.save_root, "opt.txt"))
+    if not cfg.distributed or __import__("jax").process_index() == 0:
+        # rank-0 opt.txt persistence (ref: base_options.py:86-95 + barrier)
+        save_opt_txt(cfg, pjoin(cfg.save_root, "opt.txt"))
 
     mean, std = load_stats(cfg, for_training=True)
     dataset = PairDataset(
