@@ -58,3 +58,91 @@ class TestFusedEfficientAttention:
         g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g_ref, g_fused):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
+class TestFlashAttention:
+    """Tiled flash kernel vs the einsum quadratic path (interpret mode)."""
+
+    def _qkv(self, N=3, Tq=37, Tk=29, H=4, hd=16, seed=0):
+        ks = jax.random.split(jax.random.key(seed), 3)
+        q = jax.random.normal(ks[0], (N, Tq, H * hd))
+        k = jax.random.normal(ks[1], (N, Tk, H * hd))
+        v = jax.random.normal(ks[2], (N, Tk, H * hd))
+        return q, k, v
+
+    def test_matches_quadratic_unmasked(self):
+        from hig_tpu.models.attention import quadratic_attention
+        from hig_tpu.ops.flash_attention import flash_attention
+
+        q, k, v = self._qkv()
+        want = quadratic_attention(q, k, v, 4)
+        got = flash_attention(q, k, v, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_matches_quadratic_masked(self):
+        from hig_tpu.models.attention import quadratic_attention
+        from hig_tpu.ops.flash_attention import flash_attention
+
+        q, k, v = self._qkv()
+        lengths = jnp.asarray([29, 11, 3])
+        mask = (jnp.arange(29) < lengths[:, None]).astype(jnp.float32)
+        bias = (1.0 - mask)[:, None, :, None] * -1000000.0
+        want = quadratic_attention(q, k, v, 4, logit_bias=bias)
+        got = flash_attention(q, k, v, 4, key_mask=mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_causal(self):
+        from hig_tpu.models.attention import causal_bias, quadratic_attention
+        from hig_tpu.ops.flash_attention import flash_attention
+
+        q, k, v = self._qkv(Tq=21, Tk=21)
+        want = quadratic_attention(
+            q, k, v, 4, logit_bias=causal_bias(21, jnp.float32)
+        )
+        got = flash_attention(q, k, v, 4, causal=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_tiling_covers_multiple_key_blocks(self):
+        """Tk > BK exercises the online-softmax recurrence across blocks."""
+        from hig_tpu.models.attention import quadratic_attention
+        from hig_tpu.ops.flash_attention import flash_attention
+        from hig_tpu.ops import flash_attention as FA
+
+        q, k, v = self._qkv(N=2, Tq=160, Tk=300, H=2, hd=8, seed=1)
+        want = quadratic_attention(q, k, v, 2)
+        got = FA.flash_attention(q, k, v, 2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+    def test_gradients_match_einsum(self):
+        from hig_tpu.models.attention import quadratic_attention
+        from hig_tpu.ops.flash_attention import flash_attention
+
+        q, k, v = self._qkv(N=2, Tq=13, Tk=13, H=2, hd=8, seed=2)
+        mask = jnp.ones((2, 13))
+
+        def f_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, 2, key_mask=mask, interpret=True) ** 2)
+
+        def f_ref(q, k, v):
+            bias = (1.0 - mask)[:, None, :, None] * -1000000.0
+            return jnp.sum(quadratic_attention(q, k, v, 2, logit_bias=bias) ** 2)
+
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_quadratic_block_uses_kernel(self):
+        """QuadraticSelfAttention(use_pallas=True) matches the einsum block."""
+        from hig_tpu.models.attention import QuadraticSelfAttention
+
+        B, T, D = 2, 18, 32
+        x = jax.random.normal(jax.random.key(0), (B, 2, T, D))
+        emb = jax.random.normal(jax.random.key(1), (B, 2, 128))
+        lengths = jnp.asarray([T, 9])
+        mask = (jnp.arange(T) < lengths[:, None]).astype(jnp.float32)[:, None, :]
+        ref_block = QuadraticSelfAttention(D, 4)
+        params = ref_block.init(jax.random.key(2), x, emb, mask)
+        want = ref_block.apply(params, x, emb, mask)
+        got = QuadraticSelfAttention(D, 4, use_pallas=True).apply(params, x, emb, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
