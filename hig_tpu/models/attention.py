@@ -290,12 +290,17 @@ class QuadraticSelfAttention(nn.Module):
     (:292), which neither masks anything nor even broadcasts for B≠T — the
     --no_eff self-attention path is effectively broken upstream. Here padded
     keys get the standard -1e6 bias so the quadratic path is actually usable.
+
+    ``use_pallas`` routes through the tiled flash-attention kernel
+    (ops/flash_attention.py) — same math (incl. the -1e6 bias), O(BQ·BK)
+    logit residency instead of the full (N·H, T, T) tensor.
     """
 
     latent_dim: int
     num_heads: int
     dropout: float = 0.0
     causal: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -305,10 +310,17 @@ class QuadraticSelfAttention(nn.Module):
         k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xn)
         v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xn)
         mask = jnp.broadcast_to(src_mask, x.shape[:-1])
-        bias = (1.0 - mask)[..., None, :, None] * -1000000.0
-        if self.causal:
-            bias = bias + causal_bias(x.shape[-2], bias.dtype)
-        y = quadratic_attention(q, k, v, self.num_heads, logit_bias=bias)
+        if self.use_pallas:
+            from hig_tpu.ops.flash_attention import flash_attention
+
+            y = flash_attention(
+                q, k, v, self.num_heads, key_mask=mask, causal=self.causal
+            )
+        else:
+            bias = (1.0 - mask)[..., None, :, None] * -1000000.0
+            if self.causal:
+                bias = bias + causal_bias(x.shape[-2], bias.dtype)
+            y = quadratic_attention(q, k, v, self.num_heads, logit_bias=bias)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic
         )
@@ -356,6 +368,7 @@ class QuadraticInteractionAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     causal: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -367,10 +380,20 @@ class QuadraticInteractionAttention(nn.Module):
         k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(text_norm(partner))
         v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(text_norm(partner))
         mask = jnp.broadcast_to(src_mask, x.shape[:-1])
-        bias = (1.0 - jnp.flip(mask, axis=1))[..., None, :, None] * -100000.0
-        if self.causal:  # attend only to the partner's past
-            bias = bias + causal_bias(x.shape[-2], bias.dtype)
-        y = quadratic_attention(q, k, v, self.num_heads, logit_bias=bias)
+        pmask = jnp.flip(mask, axis=1)
+        if self.use_pallas:
+            # NB: the kernel's padding bias is -1e6 vs the reference's -1e5
+            # here (:240) — both saturate the softmax identically.
+            from hig_tpu.ops.flash_attention import flash_attention
+
+            y = flash_attention(
+                q, k, v, self.num_heads, key_mask=pmask, causal=self.causal
+            )
+        else:
+            bias = (1.0 - pmask)[..., None, :, None] * -100000.0
+            if self.causal:  # attend only to the partner's past
+                bias = bias + causal_bias(x.shape[-2], bias.dtype)
+            y = quadratic_attention(q, k, v, self.num_heads, logit_bias=bias)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
             y, emb, deterministic
         )

@@ -72,14 +72,16 @@ class InteractionDenoiserLayer(nn.Module):
                 )
         else:
             self.sa_block = QuadraticSelfAttention(
-                self.latent_dim, self.num_heads, causal=self.causal, **kw
+                self.latent_dim, self.num_heads, causal=self.causal,
+                use_pallas=self.use_pallas, **kw
             )
             self.ca_block = QuadraticCrossAttention(
                 self.latent_dim, self.text_latent_dim, self.num_heads, **kw
             )
             if self.interaction:
                 self.int_ca_block = QuadraticInteractionAttention(
-                    self.latent_dim, self.num_heads, causal=self.causal, **kw
+                    self.latent_dim, self.num_heads, causal=self.causal,
+                    use_pallas=self.use_pallas, **kw
                 )
         self.ffn = FFN(self.latent_dim, self.ff_size, **kw)
 
@@ -123,6 +125,8 @@ class InteractionDenoiser(nn.Module):
     efficient: bool = True
     interaction: bool = True
     use_pallas: bool = False
+    causal: bool = False
+    single_transformer: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -138,21 +142,47 @@ class InteractionDenoiser(nn.Module):
         self.joint_embed = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.joint_embed2 = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.time_embed = TimeEmbedMLP(self.latent_dim, self.time_embed_dim, self.dtype)
-        self.layers = [
-            InteractionDenoiserLayer(
-                latent_dim=self.latent_dim,
-                text_latent_dim=self.text_latent_dim,
-                ff_size=self.ff_size,
-                num_heads=self.num_heads,
-                dropout=self.dropout,
-                efficient=self.efficient,
-                interaction=self.interaction,
-                use_pallas=self.use_pallas,
-                dtype=self.dtype,
-                name=f"layer_{i}",
-            )
-            for i in range(self.num_layers)
-        ]
+        if self.single_transformer:
+            # --single_transformer baseline: the reference defines
+            # LinearTemporalBaselineDiffusionTransformerDecoderLayer
+            # (interaction_transformer.py:618-639, sa → ca → ffn, no
+            # interaction block) and parses the flag without consuming it
+            # (base_options.py:21). Here the baseline is real: both actors
+            # are merged into ONE 2T-token timeline processed by a single
+            # transformer — self-attention couples the actors, text
+            # cross-attention sees both captions' tokens.
+            self.layers = [
+                SinglePersonDenoiserLayer(
+                    latent_dim=self.latent_dim,
+                    text_latent_dim=self.text_latent_dim,
+                    ff_size=self.ff_size,
+                    num_heads=self.num_heads,
+                    dropout=self.dropout,
+                    efficient=self.efficient,
+                    use_pallas=self.use_pallas,
+                    causal=self.causal,
+                    dtype=self.dtype,
+                    name=f"layer_{i}",
+                )
+                for i in range(self.num_layers)
+            ]
+        else:
+            self.layers = [
+                InteractionDenoiserLayer(
+                    latent_dim=self.latent_dim,
+                    text_latent_dim=self.text_latent_dim,
+                    ff_size=self.ff_size,
+                    num_heads=self.num_heads,
+                    dropout=self.dropout,
+                    efficient=self.efficient,
+                    interaction=self.interaction,
+                    use_pallas=self.use_pallas,
+                    causal=self.causal,
+                    dtype=self.dtype,
+                    name=f"layer_{i}",
+                )
+                for i in range(self.num_layers)
+            ]
         self.out = nn.Dense(
             self.input_feats, kernel_init=nn.initializers.zeros, dtype=self.dtype
         )
@@ -163,7 +193,15 @@ class InteractionDenoiser(nn.Module):
     def text_kv(self, xf_out) -> tuple:
         """Per-layer loop-invariant text cross-attention state — compute once
         per sampling call, pass to :meth:`__call__` for every scan step."""
+        if self.single_transformer and xf_out is not None:
+            xf_out = self._merge_text(xf_out)
         return tuple(layer.text_kv(xf_out) for layer in self.layers)
+
+    @staticmethod
+    def _merge_text(xf_out: jax.Array) -> jax.Array:
+        """(B, 2, L, Dt) → (B, 2L, Dt): both captions in one token sequence."""
+        B = xf_out.shape[0]
+        return xf_out.reshape((B, -1) + xf_out.shape[3:])
 
     def __call__(
         self,
@@ -188,11 +226,25 @@ class InteractionDenoiser(nn.Module):
 
         src_mask = length_mask(lengths, T, self.dtype)[:, None, :]  # (B, 1, T)
 
-        for i, layer in enumerate(self.layers):
-            h = layer(
-                h, xf_out, emb, src_mask, deterministic,
-                text_kv=None if text_kv is None else text_kv[i],
-            )
+        if self.single_transformer:
+            # one 2T-token timeline; per-sequence conditioning is the mean of
+            # the two actors' pooled text embeddings (symmetric in the actors)
+            h = h.reshape(B, A * T, -1)
+            emb = jnp.mean(emb, axis=1)
+            merged_mask = jnp.broadcast_to(src_mask, (B, A, T)).reshape(B, A * T)
+            xf_merged = None if xf_out is None else self._merge_text(xf_out)
+            for i, layer in enumerate(self.layers):
+                h = layer(
+                    h, xf_merged, emb, merged_mask, deterministic,
+                    text_kv=None if text_kv is None else text_kv[i],
+                )
+            h = h.reshape(B, A, T, -1)
+        else:
+            for i, layer in enumerate(self.layers):
+                h = layer(
+                    h, xf_out, emb, src_mask, deterministic,
+                    text_kv=None if text_kv is None else text_kv[i],
+                )
 
         return jnp.concatenate([self.out2(h[:, :, :1]), self.out(h[:, :, 1:])], axis=2)
 
@@ -207,20 +259,25 @@ class SinglePersonDenoiserLayer(nn.Module):
     dropout: float = 0.0
     efficient: bool = True
     use_pallas: bool = False
+    causal: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         kw = dict(dropout=self.dropout, dtype=self.dtype)
         if self.efficient:
             self.sa_block = EfficientSelfAttention(
-                self.latent_dim, self.num_heads, use_pallas=self.use_pallas, **kw
+                self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
+                causal=self.causal, **kw
             )
             self.ca_block = EfficientCrossAttention(
                 self.latent_dim, self.text_latent_dim, self.num_heads,
                 use_pallas=self.use_pallas, **kw
             )
         else:
-            self.sa_block = QuadraticSelfAttention(self.latent_dim, self.num_heads, **kw)
+            self.sa_block = QuadraticSelfAttention(
+                self.latent_dim, self.num_heads, causal=self.causal,
+                use_pallas=self.use_pallas, **kw
+            )
             self.ca_block = QuadraticCrossAttention(
                 self.latent_dim, self.text_latent_dim, self.num_heads, **kw
             )

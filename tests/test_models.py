@@ -224,3 +224,133 @@ class TestEvalModels:
         params = model.init(jax.random.key(1), x, lengths)
         logits = model.apply(params, x, lengths)
         assert logits.shape == (3, 2)
+
+
+class TestCausalAndBaseline:
+    """--causal and --single_transformer: parsed-but-dead flags in the
+    reference (base_options.py:19,21); real semantics here."""
+
+    def _random_params(self, model, args):
+        params = model.init(jax.random.key(3), *args)
+        leaves, tree = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.key(4), len(leaves))
+        leaves = [
+            0.02 * jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)
+        ]
+        return jax.tree_util.tree_unflatten(tree, leaves)
+
+    def _args(self, B=2, T=12):
+        x = jax.random.normal(jax.random.key(0), (B, 2, T, 263))
+        t = jnp.asarray([3, 7])[:B]
+        lengths = jnp.full((B,), T)
+        xf_proj, xf_out = _text_cond(B, jax.random.key(1))
+        return x, t, lengths, xf_proj, xf_out
+
+    @pytest.mark.parametrize("efficient", [True, False])
+    def test_causal_no_future_dependence(self, efficient):
+        """Perturbing frame k must not change predictions at frames < k."""
+        model = InteractionDenoiser(**{**TINY, "efficient": efficient, "causal": True})
+        x, t, lengths, xf_proj, xf_out = self._args()
+        params = self._random_params(model, (x, t, lengths, xf_proj, xf_out))
+        out = model.apply(params, x, t, lengths, xf_proj, xf_out)
+        k = 8
+        x2 = x.at[:, :, k:].add(3.0)  # perturb the future of BOTH actors
+        out2 = model.apply(params, x2, t, lengths, xf_proj, xf_out)
+        np.testing.assert_allclose(
+            np.asarray(out[:, :, :k]), np.asarray(out2[:, :, :k]), atol=1e-5
+        )
+        # and the perturbation does change the future (sanity)
+        assert np.abs(np.asarray(out[:, :, k:] - out2[:, :, k:])).max() > 1e-4
+
+    def test_non_causal_sees_future(self):
+        model = InteractionDenoiser(**TINY)
+        x, t, lengths, xf_proj, xf_out = self._args()
+        params = self._random_params(model, (x, t, lengths, xf_proj, xf_out))
+        out = model.apply(params, x, t, lengths, xf_proj, xf_out)
+        out2 = model.apply(params, x.at[:, :, 8:].add(3.0), t, lengths, xf_proj, xf_out)
+        # tiny 0.02-scale random weights leak only weakly, but measurably
+        assert np.abs(np.asarray(out[:, :, :8] - out2[:, :, :8])).max() > 1e-5
+
+    def test_single_transformer_baseline(self):
+        """Baseline layer stack: no interaction-attention params, but the
+        actors still couple through the merged 2T-token self-attention."""
+        model = InteractionDenoiser(**{**TINY, "single_transformer": True})
+        x, t, lengths, xf_proj, xf_out = self._args()
+        params = self._random_params(model, (x, t, lengths, xf_proj, xf_out))
+        assert "int_ca_block" not in str(jax.tree_util.tree_structure(params))
+        out = model.apply(params, x, t, lengths, xf_proj, xf_out)
+        assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+        # coupling: perturbing actor 1 changes actor 0's prediction (weakly
+        # at 0.02-scale random weights, but well above float noise — compare
+        # the fully-decoupled no_cross_attn case, exact to 1e-5 below)
+        out2 = model.apply(params, x.at[:, 1].add(1.0), t, lengths, xf_proj, xf_out)
+        assert np.abs(np.asarray(out[:, 0] - out2[:, 0])).max() > 1e-5
+        # hoisted text-KV path matches the direct call
+        kv = model.apply(params, xf_out, method=InteractionDenoiser.text_kv)
+        hoisted = model.apply(params, x, t, lengths, xf_proj, None, text_kv=kv)
+        np.testing.assert_allclose(np.asarray(hoisted), np.asarray(out), atol=1e-6)
+
+    def test_no_cross_attn_does_not_couple(self):
+        """Contrast with --no_cross_attn: actors are fully independent."""
+        model = InteractionDenoiser(**{**TINY, "interaction": False})
+        x, t, lengths, xf_proj, xf_out = self._args()
+        params = self._random_params(model, (x, t, lengths, xf_proj, xf_out))
+        out = model.apply(params, x, t, lengths, xf_proj, xf_out)
+        out2 = model.apply(params, x.at[:, 1].add(1.0), t, lengths, xf_proj, xf_out)
+        np.testing.assert_allclose(
+            np.asarray(out[:, 0]), np.asarray(out2[:, 0]), atol=1e-5
+        )
+
+
+class TestClipBPEMachinery:
+    """Validates the from-scratch BPE implementation's merge logic on a
+    synthetic merges file in the exact format of CLIP's
+    bpe_simple_vocab_16e6.txt.gz — so when the real asset lands, only data
+    changes, not code (VERDICT r1 next #4)."""
+
+    def _tiny_tokenizer(self, tmp_path):
+        import gzip
+
+        from hig_tpu.models.tokenizer import ClipBPETokenizer
+
+        merges = "#version: 0.2\nh e\nhe l\nl o</w>\n"
+        p = tmp_path / "bpe_tiny.txt.gz"
+        with gzip.open(p, "wt") as f:
+            f.write(merges)
+        return ClipBPETokenizer(str(p))
+
+    def test_merge_order_and_ids(self, tmp_path):
+        tok = self._tiny_tokenizer(tmp_path)
+        # 'hello' → h+e → he+l → (l,o</w>) → ['hel', 'lo</w>']
+        assert tok._bpe("hello") == "hel lo</w>"
+        # vocab layout: 256 bytes + 256 byte</w> + merges in rank order
+        assert tok.encoder["he"] == 512
+        assert tok.encoder["hel"] == 513
+        assert tok.encoder["lo</w>"] == 514
+        assert tok.encode("hello") == [513, 514]
+        # unknown pairs stop merging; singles fall back to byte ids
+        assert tok._bpe("eh") == "e h</w>"
+
+    def test_lowercase_and_whitespace_cleanup(self, tmp_path):
+        tok = self._tiny_tokenizer(tmp_path)
+        assert tok.encode("  HELLO\n hello ") == [513, 514, 513, 514]
+
+    def test_tokenize_uses_bpe_when_asset_present(self, tmp_path, monkeypatch):
+        import gzip
+
+        from hig_tpu.models import tokenizer as T
+
+        merges = "#version: 0.2\nh e\nhe l\nl o</w>\n"
+        p = tmp_path / "bpe_tiny.txt.gz"
+        with gzip.open(p, "wt") as f:
+            f.write(merges)
+        monkeypatch.setenv("HIG_TPU_BPE_PATH", str(p))
+        monkeypatch.setattr(T, "_DEFAULT_ASSET_PATHS", [str(p)])
+        T.default_tokenizer.cache_clear()
+        try:
+            ids = T.tokenize("hello")
+            assert ids[0, 0] == T.SOT
+            assert list(ids[0, 1:3]) == [513, 514]
+            assert ids[0, 3] == T.EOT
+        finally:
+            T.default_tokenizer.cache_clear()
