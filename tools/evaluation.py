@@ -48,6 +48,23 @@ def load_eval_models(cfg, eval_dir, cons_dir):
     return enc, enc_params, cons, cons_params
 
 
+def save_confusion_png(cm: np.ndarray, path: str) -> None:
+    """Render the confusion matrix as an image (ref evaluation.py:106-111)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 6))
+    im = ax.imshow(cm, cmap="viridis")
+    ax.set_xlabel("predicted class")
+    ax.set_ylabel("true class")
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--opt_path", type=str, required=True)
@@ -60,6 +77,12 @@ def main():
     parser.add_argument("--sampler", type=str, default=None, choices=[None, "ddpm", "ddim"])
     parser.add_argument("--gen_T", type=int, default=None,
                         help="generation length (default: max_motion_length)")
+    parser.add_argument("--cache_generations", action="store_true",
+                        help="pickle each replication's generated set "
+                             "(ref evaluator.py:128-136)")
+    parser.add_argument("--use_cache", action="store_true",
+                        help="reuse cached generations when present — re-run "
+                             "metrics without paying the sampling cost")
     args = parser.parse_args()
 
     cfg = load_opt_txt(args.opt_path, is_train=False)
@@ -119,18 +142,38 @@ def main():
     os.makedirs(save_dir, exist_ok=True)
     log_file = pjoin(save_dir, f"t2m_fin_evaluation{args.file_id}.log")
 
-    gt_items = [
-        dict(motion=s["motion"], length=s["length"], class_id=s["class_id"])
-        for s in eval_samples
-    ]
     replications = []
     rng = jax.random.key(cfg.seed)
     with open(log_file, "w") as f:
         for rep in range(args.replication_times):
             rng, sub = jax.random.split(rng)
-            gen = generate_test_set(
-                sample_fn, state.params, eval_samples, tokens_of, T_gen, sub
-            )
+            # Per-replication shuffle (the reference's eval loader is
+            # shuffled, evaluator.py:30): randomizes which clips land in each
+            # class's MultiModality subset so replications are independent —
+            # round-1 measured MM on the shortest clips of every class
+            # (load_clips sorts by length) identically across reps.
+            perm = np.random.default_rng((cfg.seed, rep)).permutation(len(eval_samples))
+            rep_samples = [eval_samples[int(i)] for i in perm]
+            gt_items = [
+                dict(motion=s["motion"], length=s["length"], class_id=s["class_id"])
+                for s in rep_samples
+            ]
+            cache_path = pjoin(save_dir, f"generations{args.file_id}_rep{rep}.pkl")
+            if args.use_cache and os.path.exists(cache_path):
+                import pickle
+
+                with open(cache_path, "rb") as cf:
+                    gen = pickle.load(cf)
+                print(f"loaded cached generations from {cache_path}")
+            else:
+                gen = generate_test_set(
+                    sample_fn, state.params, rep_samples, tokens_of, T_gen, sub
+                )
+                if args.cache_generations or args.use_cache:
+                    import pickle
+
+                    with open(cache_path, "wb") as cf:
+                        pickle.dump(gen, cf)
             res = evaluate_once(embed, gt_items, gen, np.random.default_rng(rep))
             replications.append(res)
             for metric, vals in res.items():
@@ -142,6 +185,9 @@ def main():
                     print(line, file=f, flush=True)
             cm = res["_confusion"]["text2motion"]
             np.save(pjoin(save_dir, f"confusion_matrix{args.file_id}_rep{rep}.npy"), cm)
+            save_confusion_png(
+                cm, pjoin(save_dir, f"confusion_matrix{args.file_id}_rep{rep}.png")
+            )
 
         summary = summarize(replications, args.replication_times)
         for metric, models in summary.items():
