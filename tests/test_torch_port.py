@@ -288,3 +288,152 @@ class TestTorchTarLoader:
         torch.save(sd, path2)
         loaded2 = tp.load_torch_state_dict(path2)
         assert set(loaded2) == set(sd)
+
+
+class TestFullTextPathParity:
+    """Whole-tower numerical parity: tokens → (xf_proj, xf_out) through the
+    frozen CLIP tower + learnable suffix, against a torch replica of the
+    reference's encode_text (interaction_transformer.py:533-559) — including
+    the argmax-EOT pooling and the seq-first TransformerEncoder layout.
+    Weights travel through the real converter (torch_port.convert_text_encoder),
+    so this is the conversion-rehearsal the released checkpoint will take
+    (VERDICT r1 missing #1 / next #4 — the asset-independent part)."""
+
+    CLIP_W, TEXT_D, CLIP_L, TEXT_L, CLIP_H, TEXT_H, FF, E = 16, 8, 2, 2, 2, 2, 32, 64
+
+    def _fake_sd(self):
+        rng = np.random.RandomState(7)
+        sd = {}
+
+        def lin(name, i, o):
+            sd[f"{name}.weight"] = (0.2 * rng.randn(o, i)).astype(np.float32)
+            sd[f"{name}.bias"] = (0.1 * rng.randn(o)).astype(np.float32)
+
+        def ln(name, d_):
+            sd[f"{name}.weight"] = (1 + 0.1 * rng.randn(d_)).astype(np.float32)
+            sd[f"{name}.bias"] = (0.1 * rng.randn(d_)).astype(np.float32)
+
+        W, D = self.CLIP_W, self.TEXT_D
+        sd["clip.token_embedding.weight"] = (0.2 * rng.randn(49408, W)).astype(np.float32)
+        sd["clip.positional_embedding"] = (0.1 * rng.randn(77, W)).astype(np.float32)
+        ln("clip.ln_final", W)
+        for i in range(self.CLIP_L):
+            rb = f"clip.transformer.resblocks.{i}"
+            sd[f"{rb}.attn.in_proj_weight"] = (0.2 * rng.randn(3 * W, W)).astype(np.float32)
+            sd[f"{rb}.attn.in_proj_bias"] = (0.1 * rng.randn(3 * W)).astype(np.float32)
+            lin(f"{rb}.attn.out_proj", W, W)
+            ln(f"{rb}.ln_1", W)
+            ln(f"{rb}.ln_2", W)
+            lin(f"{rb}.mlp.c_fc", W, 4 * W)
+            lin(f"{rb}.mlp.c_proj", 4 * W, W)
+        lin("text_pre_proj", W, D)
+        for i in range(self.TEXT_L):
+            t = f"textTransEncoder.layers.{i}"
+            sd[f"{t}.self_attn.in_proj_weight"] = (0.2 * rng.randn(3 * D, D)).astype(np.float32)
+            sd[f"{t}.self_attn.in_proj_bias"] = (0.1 * rng.randn(3 * D)).astype(np.float32)
+            lin(f"{t}.self_attn.out_proj", D, D)
+            lin(f"{t}.linear1", D, self.FF)
+            lin(f"{t}.linear2", self.FF, D)
+            ln(f"{t}.norm1", D)
+            ln(f"{t}.norm2", D)
+        ln("text_ln", D)
+        lin("text_proj.0", D, self.E)
+        return sd
+
+    def _torch_forward(self, sd, tokens_np):
+        """Replicates encode_text exactly (no_clip=False branch)."""
+        W, D = self.CLIP_W, self.TEXT_D
+        tokens = torch.from_numpy(tokens_np.astype(np.int64))
+        tt = {k: torch.from_numpy(v) for k, v in sd.items()}
+        x = tt["clip.token_embedding.weight"][tokens] + tt["clip.positional_embedding"]
+        L = x.shape[1]
+        causal = torch.triu(torch.full((L, L), float("-inf")), diagonal=1)
+        for i in range(self.CLIP_L):
+            rb = f"clip.transformer.resblocks.{i}"
+            attn = torch.nn.MultiheadAttention(W, self.CLIP_H, batch_first=True)
+            with torch.no_grad():
+                attn.in_proj_weight.copy_(tt[f"{rb}.attn.in_proj_weight"])
+                attn.in_proj_bias.copy_(tt[f"{rb}.attn.in_proj_bias"])
+                attn.out_proj.weight.copy_(tt[f"{rb}.attn.out_proj.weight"])
+                attn.out_proj.bias.copy_(tt[f"{rb}.attn.out_proj.bias"])
+
+            def _ln(name, v):
+                return torch.nn.functional.layer_norm(
+                    v, (v.shape[-1],), tt[f"{name}.weight"], tt[f"{name}.bias"]
+                )
+
+            h = _ln(f"{rb}.ln_1", x)
+            x = x + attn(h, h, h, attn_mask=causal, need_weights=False)[0]
+            m = _ln(f"{rb}.ln_2", x)
+            m = torch.nn.functional.linear(
+                m, tt[f"{rb}.mlp.c_fc.weight"], tt[f"{rb}.mlp.c_fc.bias"]
+            )
+            m = m * torch.sigmoid(1.702 * m)  # QuickGELU
+            x = x + torch.nn.functional.linear(
+                m, tt[f"{rb}.mlp.c_proj.weight"], tt[f"{rb}.mlp.c_proj.bias"]
+            )
+        x = torch.nn.functional.layer_norm(
+            x, (W,), tt["clip.ln_final.weight"], tt["clip.ln_final.bias"]
+        )
+        # learnable suffix, reference layout: NLD -> LND
+        x = torch.nn.functional.linear(
+            x, tt["text_pre_proj.weight"], tt["text_pre_proj.bias"]
+        )
+        x = x.permute(1, 0, 2)
+        enc_layer = torch.nn.TransformerEncoderLayer(
+            d_model=D, nhead=self.TEXT_H, dim_feedforward=self.FF,
+            dropout=0.0, activation="gelu",
+        )
+        enc = torch.nn.TransformerEncoder(enc_layer, num_layers=self.TEXT_L)
+        enc.load_state_dict(
+            {k[len("textTransEncoder."):]: v for k, v in tt.items()
+             if k.startswith("textTransEncoder.")}
+        )
+        enc.eval()
+        with torch.no_grad():
+            xf_out = enc(x)
+        xf_out = torch.nn.functional.layer_norm(
+            xf_out, (D,), tt["text_ln.weight"], tt["text_ln.bias"]
+        )
+        pooled = xf_out[tokens.argmax(dim=-1), torch.arange(xf_out.shape[1])]
+        xf_proj = torch.nn.functional.linear(
+            pooled, tt["text_proj.0.weight"], tt["text_proj.0.bias"]
+        )
+        return xf_proj.detach().numpy(), xf_out.permute(1, 0, 2).detach().numpy()
+
+    def test_tokens_to_conditioning_matches_torch(self):
+        from hig_tpu.models.text_encoder import TextEncoder
+        from hig_tpu.models.tokenizer import EOT, SOT
+
+        sd = self._fake_sd()
+        ours = TextEncoder(
+            clip_config=ClipTextConfig(width=self.CLIP_W, heads=self.CLIP_H,
+                                       layers=self.CLIP_L),
+            text_latent_dim=self.TEXT_D, text_ff_size=self.FF,
+            text_num_heads=self.TEXT_H, num_text_layers=self.TEXT_L,
+            time_embed_dim=self.E,
+        )
+        # realistic token layout: SOT ... EOT at different positions, zero pad
+        rng = np.random.RandomState(3)
+        tokens = np.zeros((3, 77), np.int32)
+        for b, n_words in enumerate([4, 9, 1]):
+            tokens[b, 0] = SOT
+            tokens[b, 1 : 1 + n_words] = rng.randint(1, 49000, n_words)
+            tokens[b, 1 + n_words] = EOT
+
+        variables = ours.init(jax.random.key(0), jnp.asarray(tokens))
+        converted = tp.convert_text_encoder(
+            sd, num_text_layers=self.TEXT_L, clip_layers=self.CLIP_L
+        )
+        got_proj, got_out = ours.apply({"params": converted}, jnp.asarray(tokens))
+        want_proj, want_out = self._torch_forward(sd, tokens)
+        # EOT pooling positions differ per row — parity covers the argmax
+        # path. f32 accumulation across 4 LN stages drifts up to ~5e-4.
+        np.testing.assert_allclose(np.asarray(got_out), want_out, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_proj), want_proj, atol=1e-3)
+        # converted tree structure matches an initialized one
+        assert jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(np.shape, converted)
+        ) == jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(np.shape, variables["params"])
+        )
