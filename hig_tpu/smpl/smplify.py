@@ -34,6 +34,45 @@ def gmof(x: jax.Array, sigma: float) -> jax.Array:
     return (s2 * x2) / (s2 + x2)
 
 
+def collision_loss(
+    vertices: jax.Array,
+    part_ids: jax.Array,
+    margin: float = 0.02,
+    weight: float = 1000.0,
+) -> jax.Array:
+    """Differentiable self-interpenetration penalty.
+
+    TPU-native stand-in for the reference's default-off BVH collision term
+    (customloss.py:161-174, which needs the CUDA ``mesh_intersection``
+    package): instead of triangle-intersection search, penalize pairs of
+    (downsampled) vertices belonging to *different body parts* that come
+    closer than ``margin``:
+
+        L = weight · Σ_{i<j, part_i≠part_j} relu(margin² − ‖v_i − v_j‖²)
+
+    The pairwise-distance matrix is one batched matmul (MXU-friendly) and
+    fully differentiable, so it works inside the jit'd L-BFGS loop — no
+    no-grad search phase needed. ``part_ids`` come from the LBS skinning
+    weights (dominant joint per vertex), replacing smplx_parts_segm.pkl.
+
+    vertices: (..., K, 3); part_ids: (K,).
+    """
+    sq = jnp.sum(vertices**2, axis=-1)
+    d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * jnp.einsum(
+        "...kc,...lc->...kl", vertices, vertices
+    )
+    cross_part = (part_ids[:, None] != part_ids[None, :]).astype(vertices.dtype)
+    pen = jax.nn.relu(margin**2 - d2) * cross_part
+    # i<j once (symmetric matrix counted twice → halve)
+    return 0.5 * weight * jnp.sum(pen)
+
+
+def vertex_parts(model: SMPLModel) -> jax.Array:
+    """Per-vertex body-part id = dominant LBS skinning joint (asset-free
+    replacement for the reference's smplx_parts_segm.pkl)."""
+    return jnp.argmax(model.lbs_weights, axis=-1)
+
+
 def angle_prior(body_pose: jax.Array) -> jax.Array:
     """Knee/elbow bending prior (ref: customloss.py:15-21).
 
@@ -135,6 +174,12 @@ class SMPLify3D:
     camera_outer: int = 10
     joint_loss_weight: float = 600.0  # (render path, smplify.py:227)
     pose_preserve_weight: float = 5.0
+    # self-interpenetration penalty (ref --use_collision, default off there
+    # too: render_smpl.py:30, customloss.py:161-174)
+    use_collision: bool = False
+    collision_weight: float = 1000.0
+    collision_margin: float = 0.02
+    collision_stride: int = 8  # vertex downsampling for the pairwise matrix
 
     def __call__(
         self,
@@ -171,16 +216,27 @@ class SMPLify3D:
         cam_t = cam_params["cam_t"]
 
         # ---- stage 2: full body pose (+ betas) -----------------------------
+        parts = (
+            vertex_parts(self.model)[:: self.collision_stride]
+            if self.use_collision else None
+        )
+
         def body_loss(p):
             b = p["betas"] if optimize_betas else betas
             pose = jnp.concatenate([p["global_orient"], p["body_pose"]], axis=-1)
-            _, mj = batched_lbs(b, pose, jnp.zeros_like(cam_t))
-            return body_fitting_loss_3d(
+            mv, mj = batched_lbs(b, pose, jnp.zeros_like(cam_t))
+            loss = body_fitting_loss_3d(
                 p["body_pose"], preserve_pose, b, mj[:, :22], p["cam_t"], j3d,
                 self.prior, conf_3d,
                 joint_loss_weight=self.joint_loss_weight,
                 pose_preserve_weight=self.pose_preserve_weight,
             )
+            if self.use_collision:
+                loss = loss + collision_loss(
+                    mv[:, :: self.collision_stride], parts,
+                    margin=self.collision_margin, weight=self.collision_weight,
+                )
+            return loss
 
         body_params = {
             "body_pose": body_pose,
