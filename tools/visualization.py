@@ -120,7 +120,18 @@ def run_single(args):
         jax.random.key(0), x, jnp.zeros((1,), np.int32),
         jnp.full((1,), T, np.int32), tokens,
     )
-    restored = ckpt.restore_params(pjoin(cfg.model_dir, args.which_epoch), init)
+    # tools/train_single.py checkpoints a full TrainState; standalone
+    # params-only checkpoints (converted donors) also load.
+    try:
+        from hig_tpu.train.trainer import TrainState, make_optimizer
+
+        tx = make_optimizer(cfg, init)
+        abstract = TrainState(params=init, opt_state=tx.init(init),
+                              step=jnp.zeros((), np.int32))
+        state, _, _ = ckpt.restore_state(pjoin(cfg.model_dir, args.which_epoch), abstract)
+        restored = state.params
+    except Exception:
+        restored = ckpt.restore_params(pjoin(cfg.model_dir, args.which_epoch), init)
     sched = g.make_schedule(g.named_betas("linear", cfg.diffusion_steps))
     sample = make_single_sampler(model, sched, T=T, dim_pose=cfg.dim_pose,
                                  sampler=cfg.sampler, ddim_steps=cfg.ddim_steps)
