@@ -80,6 +80,27 @@ def run_case(fsdp: bool) -> dict:
     new_state, metrics = step(state, dev_batch, jax.random.key(0))
     loss = float(metrics["loss_mot_rec"])
 
+    ckpt_roundtrip = False
+    if not fsdp:
+        # multi-host checkpointing: every process calls save/restore on the
+        # same path; orbax coordinates via the jax.distributed service
+        import jax.numpy as jnp
+
+        from hig_tpu.train import checkpoint as ckpt
+
+        path = os.path.join(outdir, "mp_ckpt")
+        ckpt.save_state(path, new_state, epoch=1, total_it=1)
+        dist.barrier("ckpt_saved")
+        fresh = trainer.init_state()
+        restored, ep, it = ckpt.restore_state(path, fresh)
+        restored = trainer.place_state(restored)
+        ref_leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+        got_leaf = jax.tree_util.tree_leaves(restored.params)[0]
+        ckpt_roundtrip = bool(
+            ep == 1 and it == 1
+            and jnp.allclose(jnp.asarray(got_leaf), jnp.asarray(ref_leaf))
+        )
+
     model_sharded_leaves = 0
     if fsdp:
         for leaf in jax.tree_util.tree_leaves(new_state.params):
@@ -91,6 +112,7 @@ def run_case(fsdp: bool) -> dict:
         "global_devices": len(jax.devices()),
         "global_batch": int(dev_batch["motion"].shape[0]),
         "model_sharded_leaves": model_sharded_leaves,
+        "ckpt_roundtrip": ckpt_roundtrip,
     }
 
 

@@ -58,6 +58,8 @@ def test_two_process_dp_and_fsdp(tmp_path):
         assert r0["global_batch"] == 8  # local 4-row slices reassembled globally
     # FSDP actually sharded parameters on the model axis
     assert results[0]["fsdp"]["model_sharded_leaves"] > 0
+    # multi-host orbax checkpoint save/restore round-trips on both ranks
+    assert results[0]["dp"]["ckpt_roundtrip"] and results[1]["dp"]["ckpt_roundtrip"]
 
 
 def test_epoch_batches_process_sharding(synth_root):
@@ -65,10 +67,12 @@ def test_epoch_batches_process_sharding(synth_root):
     from hig_tpu.config import ExperimentConfig, add_dataset_paths
     from hig_tpu.data.dataset import PairDataset, epoch_batches
 
+    import os
+
     cfg = add_dataset_paths(ExperimentConfig(dataset_name="synthetic_mul"))
     cfg.data_root = synth_root
-    mean = np.zeros(cfg.dim_pose, np.float32)
-    std = np.ones(cfg.dim_pose, np.float32)
+    mean = np.load(os.path.join(synth_root, "Mean.npy"))
+    std = np.load(os.path.join(synth_root, "Std.npy"))
     ds = PairDataset(cfg, mean, std, "train_sub.txt", times=1, seed=0)
 
     global_batches = list(epoch_batches(ds, 8, epoch=3, seed=5,
