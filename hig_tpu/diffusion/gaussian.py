@@ -240,6 +240,7 @@ def p_sample_loop(
     pre_seq_len: int = 0,
     transl_req: list | None = None,
     dtype=jnp.float32,
+    unroll: int = 1,
 ) -> jax.Array:
     """Ancestral (DDPM) sampler as one fused lax.scan over timesteps.
 
@@ -293,7 +294,7 @@ def p_sample_loop(
         return (x, rng), None
 
     timesteps = jnp.arange(sched.num_timesteps - 1, -1, -1)
-    (x, _), _ = jax.lax.scan(step, (x, rng), timesteps)
+    (x, _), _ = jax.lax.scan(step, (x, rng), timesteps, unroll=unroll)
     return x
 
 
@@ -307,6 +308,7 @@ def ddim_sample_loop(
     noise: jax.Array | None = None,
     clip_denoised: bool = False,
     dtype=jnp.float32,
+    unroll: int = 1,
 ) -> jax.Array:
     """DDIM sampler (ref: gaussian_diffusion.py:771-941) as a lax.scan.
 
