@@ -48,7 +48,7 @@ def _reference(q, k, v, mask, causal, scale):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal,
-                  bq, bk, heads):
+                  bq, bk):
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32) * scale  # (BQ, hd)
     hd = q.shape[-1]
@@ -108,7 +108,7 @@ def _flash_impl(q, k, v, mask, scale, causal, interpret, bq=128, bk=128):
     Tqp, Tkp = qp.shape[1], kp.shape[1]
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal, bq=bq, bk=bk, heads=heads
+        _flash_kernel, scale=scale, causal=causal, bq=bq, bk=bk
     )
     out = pl.pallas_call(
         kernel,

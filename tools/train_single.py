@@ -20,7 +20,7 @@ from os.path import join as pjoin
 
 import numpy as np
 
-from _common import  load_stats  # noqa: E402  (sys.path set in _common)
+from _common import load_stats  # noqa: E402  (sys.path set in _common)
 
 
 def main():
