@@ -88,6 +88,9 @@ class ExperimentConfig:
     result_path: str = "./result"
     sampler: str = "ddpm"  # "ddpm" | "ddim"
     ddim_steps: int = 50
+    # lax.scan unroll for the sampling loops (measured +1.7% at unroll=4 on
+    # v5e bf16 DDPM-1000; costs compile time)
+    sampler_unroll: int = 1
 
     # TPU-native additions
     seed: int = 0

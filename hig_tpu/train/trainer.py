@@ -296,6 +296,7 @@ def make_sampler(
     dim_pose: int,
     sampler: str = "ddpm",
     ddim_steps: int = 50,
+    unroll: int = 1,
 ) -> Callable:
     """Returns sample(params, cond, lengths, rng) -> (B, 2, T, dim_pose).
 
@@ -325,8 +326,10 @@ def make_sampler(
 
         shape = (B, 2, T, dim_pose)
         if sampler == "ddim":
-            return g.ddim_sample_loop(sched, denoiser, shape, rng, num_steps=ddim_steps)
-        return g.p_sample_loop(sched, denoiser, shape, rng)
+            return g.ddim_sample_loop(
+                sched, denoiser, shape, rng, num_steps=ddim_steps, unroll=unroll
+            )
+        return g.p_sample_loop(sched, denoiser, shape, rng, unroll=unroll)
 
     return sample
 

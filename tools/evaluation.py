@@ -126,6 +126,7 @@ def main():
     sample_fn = make_sampler(
         trainer.model, trainer.sched, T=T_gen, dim_pose=cfg.dim_pose,
         sampler=cfg.sampler, ddim_steps=cfg.ddim_steps,
+        unroll=getattr(cfg, 'sampler_unroll', 1),
     )
     if cfg.cap_id:
         from hig_tpu.data.vocab import CAP2KEY

@@ -58,6 +58,7 @@ def main():
     sample_fn = make_sampler(
         trainer.model, trainer.sched, T=T, dim_pose=cfg.dim_pose,
         sampler=cfg.sampler, ddim_steps=cfg.ddim_steps,
+        unroll=getattr(cfg, 'sampler_unroll', 1),
     )
     tokens = np.stack([tokenize(caption1)[0], tokenize(caption2)[0]])[None]
     out = sample_fn(
