@@ -57,7 +57,15 @@ def main():
         cm[g, p] += 1
     out = pjoin(cfg.save_root, "confusion_matrix_test.npy")
     np.save(out, cm)
-    print(f"wrote {out}")
+    # PNG render for parity with the reference's image side effect
+    # (test_evaluation_model.py confusion-matrix plot)
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from evaluation import save_confusion_png
+
+    save_confusion_png(cm, pjoin(cfg.save_root, "confusion_matrix_test.png"))
+    print(f"wrote {out} (+ .png)")
 
 
 if __name__ == "__main__":
