@@ -77,6 +77,8 @@ def main():
     parser.add_argument("--sampler", type=str, default=None, choices=[None, "ddpm", "ddim"])
     parser.add_argument("--gen_T", type=int, default=None,
                         help="generation length (default: max_motion_length)")
+    parser.add_argument("--ddim_steps", type=int, default=None,
+                        help="override the checkpoint's ddim_steps (quality-vs-steps sweeps)")
     parser.add_argument("--cache_generations", action="store_true",
                         help="pickle each replication's generated set "
                              "(ref evaluator.py:128-136)")
@@ -88,6 +90,8 @@ def main():
     cfg = load_opt_txt(args.opt_path, is_train=False)
     if args.sampler:
         cfg.sampler = args.sampler
+    if args.ddim_steps:
+        cfg.ddim_steps = args.ddim_steps
     mean, std = load_stats(cfg, for_training=False)
     trainer, state, _, _ = restore_trainer_state(cfg, args.model_name)
 
