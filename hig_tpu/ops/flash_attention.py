@@ -16,10 +16,13 @@ causal option (--causal). Differentiable via custom VJP: the backward pass
 is the einsum formulation's VJP — the forward saves only (q, k, v, mask),
 which is the flash-attention memory win during training.
 
-At the reference's shapes (T ≤ 196, hd=64) the VMEM-residency argument is
-modest; the kernel exists for the longer-sequence regime and to close
-VERDICT r1 next #7 with a measured shape table (see bench_flash.py /
-NOTES.md).
+Measured regime (v5e, standalone op, B=8 D=512 H=8 bf16 — NOTES.md):
+the kernel beats the XLA einsum path by 1.37-1.42x at T=512-1024; at the
+reference's shapes (T ≤ 196, hd=64) XLA wins (per-head relayout is a
+fusion barrier), and at T ≥ 2048 the whole-K/V-in-VMEM layout spills
+(a DMA-streamed K/V loop is the extension for that regime). Hence
+``use_pallas`` defaults off for the reference model; the kernel is the
+long-context path.
 """
 
 from __future__ import annotations
