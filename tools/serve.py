@@ -74,6 +74,7 @@ def main():
     sample_fn = make_sampler(
         trainer.model, trainer.sched, T=T, dim_pose=cfg.dim_pose,
         sampler=cfg.sampler, ddim_steps=cfg.ddim_steps,
+        unroll=getattr(cfg, 'sampler_unroll', 1),
     )
     mesh = trainer.mesh
     use_mesh = mesh.devices.size > 1
