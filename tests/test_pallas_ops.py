@@ -146,3 +146,69 @@ class TestFlashAttention:
         want = ref_block.apply(params, x, emb, mask)
         got = QuadraticSelfAttention(D, 4, use_pallas=True).apply(params, x, emb, mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+class TestFusedBlock:
+    """Monolithic fused attention-block kernel vs the flax block
+    (interpret mode)."""
+
+    def _setup(self, T=24, D=32, H=4, B=3):
+        from hig_tpu.models.attention import EfficientSelfAttention
+
+        block = EfficientSelfAttention(D, H)
+        x = jax.random.normal(jax.random.key(0), (B, 2, T, D))
+        emb = jax.random.normal(jax.random.key(1), (B, 2, 4 * D))
+        lengths = jnp.asarray([T, T - 7, 5])
+        mask = (jnp.arange(T) < lengths[:, None]).astype(jnp.float32)[:, None, :]
+        variables = block.init(jax.random.key(2), x, emb, mask)
+        # randomize the zero-init output head so the test is nontrivial
+        p = jax.tree_util.tree_map(lambda a: a, variables["params"])
+        p["proj_out"]["out"]["kernel"] = 0.1 * jax.random.normal(
+            jax.random.key(3), p["proj_out"]["out"]["kernel"].shape
+        )
+        return block, {"params": p}, x, emb, mask
+
+    def test_matches_flax_block(self):
+        from hig_tpu.ops.fused_block import fused_attention_block
+
+        block, variables, x, emb, mask = self._setup()
+        want = block.apply(variables, x, emb, mask)
+
+        p = variables["params"]
+        # AdaLN scale/shift from the emb projection (computed outside the kernel)
+        emb_out = jax.nn.silu(emb) @ p["proj_out"]["emb"]["kernel"] + p["proj_out"]["emb"]["bias"]
+        scale, shift = jnp.split(emb_out, 2, axis=-1)
+        bmask = jnp.broadcast_to(mask, x.shape[:-1])
+        got = fused_attention_block(
+            x, x, bmask, scale, shift, p, num_heads=4, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_interaction_variant(self):
+        """kv from the flipped actor axis reproduces the interaction block."""
+        from hig_tpu.models.attention import EfficientInteractionAttention
+        from hig_tpu.ops.fused_block import fused_attention_block
+
+        T, D, H, B = 16, 32, 4, 2
+        block = EfficientInteractionAttention(D, H)
+        x = jax.random.normal(jax.random.key(0), (B, 2, T, D))
+        emb = jax.random.normal(jax.random.key(1), (B, 2, 4 * D))
+        lengths = jnp.asarray([T, 9])
+        mask = (jnp.arange(T) < lengths[:, None]).astype(jnp.float32)[:, None, :]
+        variables = block.init(jax.random.key(2), x, emb, mask)
+        p = dict(variables["params"])
+        p["proj_out"] = dict(p["proj_out"])
+        p["proj_out"]["out"] = dict(p["proj_out"]["out"])
+        p["proj_out"]["out"]["kernel"] = 0.1 * jax.random.normal(
+            jax.random.key(3), p["proj_out"]["out"]["kernel"].shape
+        )
+        want = block.apply({"params": p}, x, emb, mask)
+
+        emb_out = jax.nn.silu(emb) @ p["proj_out"]["emb"]["kernel"] + p["proj_out"]["emb"]["bias"]
+        scale, shift = jnp.split(emb_out, 2, axis=-1)
+        bmask = jnp.broadcast_to(mask, x.shape[:-1])
+        got = fused_attention_block(
+            x, jnp.flip(x, 1), jnp.flip(bmask, 1), scale, shift, p,
+            num_heads=4, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
