@@ -74,7 +74,7 @@ def _block_kernel(
         y = y.at[:, sl].set(yh)
 
     z = layer_norm(y, ln_s_s_ref[0], ln_s_b_ref[0])
-    z = z * (1.0 + scale_ref[0]) + shift_ref[0]
+    z = z * (1.0 + scale_ref[0, 0]) + shift_ref[0, 0]
     z = z * jax.nn.sigmoid(z)  # SiLU
     out = jnp.dot(z.astype(x.dtype), wo_ref[...], preferred_element_type=f32) + bo_ref[0]
     o_ref[0] = (x.astype(f32) + out).astype(o_ref.dtype)
@@ -104,8 +104,11 @@ def fused_attention_block(
     x2 = x.reshape(N, T, D)
     kv2 = kv_src.reshape(N, Tk, D)
     mask2 = jnp.broadcast_to(key_mask, lead + (Tk,)).reshape(N, 1, Tk).astype(x.dtype)
-    scale2 = jnp.broadcast_to(scale, lead + (D,)).reshape(N, D).astype(x.dtype)
-    shift2 = jnp.broadcast_to(shift, lead + (D,)).reshape(N, D).astype(x.dtype)
+    # (N, 1, D): Mosaic requires the last two block dims divisible by (8, 128)
+    # or equal to the array dims — a singleton middle axis satisfies that for
+    # per-sequence vectors.
+    scale2 = jnp.broadcast_to(scale, lead + (D,)).reshape(N, 1, D).astype(x.dtype)
+    shift2 = jnp.broadcast_to(shift, lead + (D,)).reshape(N, 1, D).astype(x.dtype)
 
     p = params
     row = lambda a: jnp.asarray(a)[None].astype(x.dtype)  # (1, D) operands
@@ -121,8 +124,8 @@ def fused_attention_block(
             seq_spec(T),
             seq_spec(Tk),
             pl.BlockSpec((1, 1, Tk), lambda n: (n, 0, 0)),
-            pl.BlockSpec((1, D), lambda n: (n, 0)),
-            pl.BlockSpec((1, D), lambda n: (n, 0)),
+            pl.BlockSpec((1, 1, D), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda n: (n, 0, 0)),
             vec_spec, vec_spec, vec_spec, vec_spec,
             mat_spec, vec_spec, mat_spec, vec_spec, mat_spec, vec_spec,
             mat_spec, vec_spec,
