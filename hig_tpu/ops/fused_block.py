@@ -62,16 +62,19 @@ def _block_kernel(
 
     T, D = q.shape
     hd = D // num_heads
-    y = jnp.zeros((T, D), f32)
+    heads_out = []
     for h in range(num_heads):  # static per-head loop; 2D ops lower cleanly
         sl = slice(h * hd, (h + 1) * hd)
         qh = jax.nn.softmax(q[:, sl], axis=-1)
         kh = jax.nn.softmax(k[:, sl], axis=0)
         att = jnp.dot(kh.T.astype(x.dtype), v[:, sl].astype(x.dtype),
                       preferred_element_type=f32)
-        yh = jnp.dot(qh.astype(x.dtype), att.astype(x.dtype),
-                     preferred_element_type=f32)
-        y = y.at[:, sl].set(yh)
+        heads_out.append(
+            jnp.dot(qh.astype(x.dtype), att.astype(x.dtype),
+                    preferred_element_type=f32)
+        )
+    # concatenate instead of scattered .at[].set writes (Mosaic has no scatter)
+    y = jnp.concatenate(heads_out, axis=-1)
 
     z = layer_norm(y, ln_s_s_ref[0], ln_s_b_ref[0])
     z = z * (1.0 + scale_ref[0, 0]) + shift_ref[0, 0]
