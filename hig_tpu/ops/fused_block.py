@@ -39,7 +39,7 @@ def _block_kernel(
     x_ref, kv_ref, mask_ref, scale_ref, shift_ref,
     ln_a_s_ref, ln_a_b_ref, ln_s_s_ref, ln_s_b_ref,
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-    o_ref, *, num_heads,
+    o_ref, y_scratch, *, num_heads,
 ):
     x = x_ref[0]  # (T, D)
     xkv = kv_ref[0]
@@ -62,19 +62,18 @@ def _block_kernel(
 
     T, D = q.shape
     hd = D // num_heads
-    heads_out = []
+    # per-head results land in a VMEM scratch via static slice stores (the
+    # same pattern as pallas_attention._proj_kernel; .at[].set lowers to
+    # scatter and jnp.concatenate crashed the remote Mosaic compiler)
     for h in range(num_heads):  # static per-head loop; 2D ops lower cleanly
         sl = slice(h * hd, (h + 1) * hd)
         qh = jax.nn.softmax(q[:, sl], axis=-1)
         kh = jax.nn.softmax(k[:, sl], axis=0)
         att = jnp.dot(kh.T.astype(x.dtype), v[:, sl].astype(x.dtype),
                       preferred_element_type=f32)
-        heads_out.append(
-            jnp.dot(qh.astype(x.dtype), att.astype(x.dtype),
-                    preferred_element_type=f32)
-        )
-    # concatenate instead of scattered .at[].set writes (Mosaic has no scatter)
-    y = jnp.concatenate(heads_out, axis=-1)
+        y_scratch[:, sl] = jnp.dot(qh.astype(x.dtype), att.astype(x.dtype),
+                                   preferred_element_type=f32)
+    y = y_scratch[...]
 
     z = layer_norm(y, ln_s_s_ref[0], ln_s_b_ref[0])
     z = z * (1.0 + scale_ref[0, 0]) + shift_ref[0, 0]
@@ -119,10 +118,13 @@ def fused_attention_block(
     seq_spec = lambda T_: pl.BlockSpec((1, T_, D), lambda n: (n, 0, 0))
     vec_spec = pl.BlockSpec((1, D), lambda n: (0, 0))
     mat_spec = pl.BlockSpec((D, D), lambda n: (0, 0))
+    from jax.experimental.pallas import tpu as pltpu
+
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, T, D), x.dtype),
         grid=(N,),
+        scratch_shapes=[pltpu.VMEM((T, D), jnp.float32)],
         in_specs=[
             seq_spec(T),
             seq_spec(Tk),
