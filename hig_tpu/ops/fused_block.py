@@ -41,10 +41,13 @@ def _block_kernel(
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
     o_ref, y_scratch, *, num_heads,
 ):
-    x = x_ref[0]  # (T, D)
-    xkv = kv_ref[0]
-    mask = mask_ref[0, 0]  # (Tk,)
     f32 = jnp.float32
+    dt = x_ref.dtype
+    x = x_ref[0].astype(f32)  # (T, D) — T padded to a multiple of 16 by the
+    # wrapper: bf16 matmul operands need 16-sublane alignment or the remote
+    # Mosaic compiler dies with an opaque HTTP 500
+    xkv = kv_ref[0].astype(f32)
+    mask = mask_ref[0, 0].astype(f32)  # (Tk,)
 
     def layer_norm(h, s, b):
         h = h.astype(f32)
@@ -52,11 +55,11 @@ def _block_kernel(
         var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
         return (h - mu) * jax.lax.rsqrt(var + 1e-6) * s + b
 
-    xn = layer_norm(x, ln_a_s_ref[0], ln_a_b_ref[0])
-    kvn = layer_norm(xkv, ln_a_s_ref[0], ln_a_b_ref[0])
-    q = jnp.dot(xn.astype(x.dtype), wq_ref[...], preferred_element_type=f32) + bq_ref[0]
-    k = jnp.dot(kvn.astype(x.dtype), wk_ref[...], preferred_element_type=f32) + bk_ref[0]
-    v = jnp.dot(kvn.astype(x.dtype), wv_ref[...], preferred_element_type=f32) + bv_ref[0]
+    xn = layer_norm(x, ln_a_s_ref[0].astype(f32), ln_a_b_ref[0].astype(f32))
+    kvn = layer_norm(xkv, ln_a_s_ref[0].astype(f32), ln_a_b_ref[0].astype(f32))
+    q = jnp.dot(xn.astype(dt), wq_ref[...], preferred_element_type=f32) + bq_ref[0].astype(f32)
+    k = jnp.dot(kvn.astype(dt), wk_ref[...], preferred_element_type=f32) + bk_ref[0].astype(f32)
+    v = jnp.dot(kvn.astype(dt), wv_ref[...], preferred_element_type=f32) + bv_ref[0].astype(f32)
     k = k + (1.0 - mask)[:, None] * -1000000.0
     v = v * mask[:, None]
 
@@ -69,17 +72,18 @@ def _block_kernel(
         sl = slice(h * hd, (h + 1) * hd)
         qh = jax.nn.softmax(q[:, sl], axis=-1)
         kh = jax.nn.softmax(k[:, sl], axis=0)
-        att = jnp.dot(kh.T.astype(x.dtype), v[:, sl].astype(x.dtype),
+        att = jnp.dot(kh.T.astype(dt), v[:, sl].astype(dt),
                       preferred_element_type=f32)
-        y_scratch[:, sl] = jnp.dot(qh.astype(x.dtype), att.astype(x.dtype),
+        y_scratch[:, sl] = jnp.dot(qh.astype(dt), att.astype(dt),
                                    preferred_element_type=f32)
     y = y_scratch[...]
 
-    z = layer_norm(y, ln_s_s_ref[0], ln_s_b_ref[0])
-    z = z * (1.0 + scale_ref[0, 0]) + shift_ref[0, 0]
+    z = layer_norm(y, ln_s_s_ref[0].astype(f32), ln_s_b_ref[0].astype(f32))
+    z = z * (1.0 + scale_ref[0, 0].astype(f32)) + shift_ref[0, 0].astype(f32)
     z = z * jax.nn.sigmoid(z)  # SiLU
-    out = jnp.dot(z.astype(x.dtype), wo_ref[...], preferred_element_type=f32) + bo_ref[0]
-    o_ref[0] = (x.astype(f32) + out).astype(o_ref.dtype)
+    out = jnp.dot(z.astype(dt), wo_ref[...], preferred_element_type=f32)
+    out = out + bo_ref[0].astype(f32)
+    o_ref[0] = (x + out).astype(o_ref.dtype)
 
 
 def fused_attention_block(
@@ -103,9 +107,16 @@ def fused_attention_block(
     N = 1
     for s in lead:
         N *= s
+    Tp = ((T + 15) // 16) * 16
+    Tkp = ((Tk + 15) // 16) * 16
     x2 = x.reshape(N, T, D)
     kv2 = kv_src.reshape(N, Tk, D)
     mask2 = jnp.broadcast_to(key_mask, lead + (Tk,)).reshape(N, 1, Tk).astype(x.dtype)
+    if Tp != T:
+        x2 = jnp.pad(x2, ((0, 0), (0, Tp - T), (0, 0)))
+    if Tkp != Tk:
+        kv2 = jnp.pad(kv2, ((0, 0), (0, Tkp - Tk), (0, 0)))
+        mask2 = jnp.pad(mask2, ((0, 0), (0, 0), (0, Tkp - Tk)))  # pads masked out
     # (N, 1, D): Mosaic requires the last two block dims divisible by (8, 128)
     # or equal to the array dims — a singleton middle axis satisfies that for
     # per-sequence vectors.
@@ -122,20 +133,20 @@ def fused_attention_block(
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((N, T, D), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, Tp, D), x.dtype),
         grid=(N,),
-        scratch_shapes=[pltpu.VMEM((T, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Tp, D), jnp.float32)],
         in_specs=[
-            seq_spec(T),
-            seq_spec(Tk),
-            pl.BlockSpec((1, 1, Tk), lambda n: (n, 0, 0)),
+            seq_spec(Tp),
+            seq_spec(Tkp),
+            pl.BlockSpec((1, 1, Tkp), lambda n: (n, 0, 0)),
             pl.BlockSpec((1, 1, D), lambda n: (n, 0, 0)),
             pl.BlockSpec((1, 1, D), lambda n: (n, 0, 0)),
             vec_spec, vec_spec, vec_spec, vec_spec,
             mat_spec, vec_spec, mat_spec, vec_spec, mat_spec, vec_spec,
             mat_spec, vec_spec,
         ],
-        out_specs=seq_spec(T),
+        out_specs=seq_spec(Tp),
         interpret=interpret,
     )(
         x2, kv2, mask2, scale2, shift2,
@@ -147,4 +158,4 @@ def fused_attention_block(
         jnp.asarray(p["proj_out"]["out"]["kernel"], x.dtype),
         row(p["proj_out"]["out"]["bias"]),
     )
-    return out.reshape(lead + (T, D))
+    return out[:, :T].reshape(lead + (T, D))
