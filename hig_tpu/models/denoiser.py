@@ -51,6 +51,7 @@ class InteractionDenoiserLayer(nn.Module):
     efficient: bool = True
     interaction: bool = True
     use_pallas: bool = False
+    fused_blocks: bool = False
     causal: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -59,7 +60,7 @@ class InteractionDenoiserLayer(nn.Module):
         if self.efficient:
             self.sa_block = EfficientSelfAttention(
                 self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
-                causal=self.causal, **kw
+                fused=self.fused_blocks, causal=self.causal, **kw
             )
             self.ca_block = EfficientCrossAttention(
                 self.latent_dim, self.text_latent_dim, self.num_heads,
@@ -68,7 +69,7 @@ class InteractionDenoiserLayer(nn.Module):
             if self.interaction:
                 self.int_ca_block = EfficientInteractionAttention(
                     self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
-                    causal=self.causal, **kw
+                    fused=self.fused_blocks, causal=self.causal, **kw
                 )
         else:
             self.sa_block = QuadraticSelfAttention(
@@ -125,6 +126,7 @@ class InteractionDenoiser(nn.Module):
     efficient: bool = True
     interaction: bool = True
     use_pallas: bool = False
+    fused_blocks: bool = False
     causal: bool = False
     single_transformer: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -177,6 +179,7 @@ class InteractionDenoiser(nn.Module):
                     efficient=self.efficient,
                     interaction=self.interaction,
                     use_pallas=self.use_pallas,
+                    fused_blocks=self.fused_blocks,
                     causal=self.causal,
                     dtype=self.dtype,
                     name=f"layer_{i}",

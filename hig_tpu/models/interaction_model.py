@@ -42,6 +42,7 @@ class InteractionModel(nn.Module):
     num_captions: int = 43
     clip_config: ClipTextConfig = ClipTextConfig()
     use_pallas: bool = False
+    fused_blocks: bool = False
     causal: bool = False
     single_transformer: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -81,6 +82,7 @@ class InteractionModel(nn.Module):
             efficient=self.efficient,
             interaction=self.interaction,
             use_pallas=self.use_pallas,
+            fused_blocks=self.fused_blocks,
             causal=self.causal,
             single_transformer=self.single_transformer,
             dtype=self.dtype,
@@ -245,6 +247,7 @@ def model_from_config(
         interaction=not cfg.no_cross_attn,
         cap_id=cfg.cap_id,
         use_pallas=getattr(cfg, "use_pallas", False),
+        fused_blocks=getattr(cfg, "fused_blocks", False),
         causal=getattr(cfg, "causal", False),
         single_transformer=getattr(cfg, "single_transformer", False),
         dtype=dtype,

@@ -212,3 +212,37 @@ class TestFusedBlock:
             num_heads=4, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+class TestFusedBlocksInDenoiser:
+    def test_same_tree_and_same_output(self):
+        """fused_blocks=True declares the identical parameter tree and (in
+        f32/interpret) reproduces the plain denoiser bit-for-bit at the
+        model level — checkpoints swap freely between the paths."""
+        from hig_tpu.models.denoiser import InteractionDenoiser
+
+        TINY = dict(input_feats=263, num_frames=32, latent_dim=32, ff_size=64,
+                    num_layers=2, num_heads=4, text_latent_dim=16)
+        plain = InteractionDenoiser(**TINY)
+        fused = InteractionDenoiser(**TINY, fused_blocks=True)
+        B, T = 2, 12
+        x = jax.random.normal(jax.random.key(0), (B, 2, T, 263))
+        t = jnp.asarray([3, 7])
+        lengths = jnp.asarray([T, 8])
+        xf_proj = jax.random.normal(jax.random.key(1), (B, 2, 128))
+        xf_out = jax.random.normal(jax.random.key(2), (B, 2, 7, 16))
+
+        params = plain.init(jax.random.key(3), x, t, lengths, xf_proj, xf_out)
+        # randomize zero-init heads for a nontrivial comparison
+        leaves, tree = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.key(4), len(leaves))
+        params = jax.tree_util.tree_unflatten(
+            tree, [0.05 * jax.random.normal(k, l.shape, l.dtype)
+                   for k, l in zip(keys, leaves)]
+        )
+        fused_init = fused.init(jax.random.key(5), x, t, lengths, xf_proj, xf_out)
+        assert jax.tree_util.tree_structure(fused_init) == jax.tree_util.tree_structure(params)
+
+        want = plain.apply(params, x, t, lengths, xf_proj, xf_out)
+        got = fused.apply(params, x, t, lengths, xf_proj, xf_out)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
