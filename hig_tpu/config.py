@@ -102,9 +102,9 @@ class ExperimentConfig:
     # the model is compute-roofline-bound either way. Off by default; the
     # kernels become interesting at longer T / larger d.
     use_pallas: bool = False
-    # monolithic fused block kernels (ops/fused_block.py) in the denoiser —
-    # ~3x the XLA block on v5e; inference-only (no VJP), so enable for
-    # sampling/eval runs, not training
+    # monolithic fused block kernels (ops/fused_block.py) in the denoiser.
+    # 3.2x the XLA block standalone but ~6% slower inside the full sampler
+    # (XLA's cross-block scan fusion wins) — off by default; inference-only
     fused_blocks: bool = False
     use_native_loader: bool = False  # C++ batch loader fast path (native/)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"

@@ -224,9 +224,12 @@ class EfficientSelfAttention(nn.Module):
 
     ``fused=True`` routes the whole block (both LayerNorms, QKV, attention,
     AdaLN gate, residual) through the monolithic Pallas kernel
-    (ops/fused_block.py) — measured ~3x the XLA block on v5e at reference
-    shapes. Inference-only (no VJP); parameter tree identical to the flax
-    path, so checkpoints swap freely between the two.
+    (ops/fused_block.py). Measured on v5e: 3.2x the XLA block in isolation
+    (1.9 vs 6.1 ms), but ~6% SLOWER inside the full 1000-step sampler
+    (1001 vs 1063 f/s) — XLA's cross-block fusion over the whole scan body
+    is worth more than the kernel's intra-block fusion, so this stays off
+    by default. Inference-only (no VJP); parameter tree identical to the
+    flax path, so checkpoints swap freely between the two.
     """
 
     latent_dim: int
