@@ -84,23 +84,12 @@ def main():
     results["f32_b64"], fused_time = time_sampler(model_f32, 64)
     results["bf16_b64"], _ = time_sampler(model_bf16, 64)
     results["ddim50_bf16_b64"], _ = time_sampler(model_bf16, 64, sampler="ddim")
-    # Larger batches probed in a child process: a failure there (B=256
-    # crashed the TPU worker in round 1, which poisons the whole process)
-    # must not take down the headline numbers.
-    import subprocess
-
-    for B in (128, 256):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--probe-batch", str(B)],
-            capture_output=True, text=True, timeout=1800,
-        )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-        try:
-            results[f"bf16_b{B}"] = json.loads(line)["fps"]
-        except (json.JSONDecodeError, KeyError):
-            results[f"bf16_b{B}"] = f"failed (rc={proc.returncode})"
 
     # --- reference-style host loop on the same chip (f32 — ref has no AMP) --
+    # Measured BEFORE the large-batch child probes: B=256 kills the TPU
+    # worker process itself (root-caused in round 2), and a parent holding a
+    # connection to a dead worker can hang — everything needed for the
+    # headline must be in hand before that risk is taken.
     B = 64
     model = model_f32
     tokens, lengths = make_inputs(B)
@@ -139,6 +128,23 @@ def main():
     # median per-step time × 1000 steps (tunnel sync latency is heavy-tailed)
     loop_time = float(np.median(step_times)) * 1000
     loop_fps = B * 2 * (T - 1) / loop_time
+
+    # Larger batches probed in a child process LAST: a failure there (B=256
+    # kills the TPU worker — see ROOFLINE/NOTES) cannot take down the
+    # headline numbers, which are already collected above.
+    import subprocess
+
+    for B_probe in (128, 256):
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--probe-batch", str(B_probe)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            results[f"bf16_b{B_probe}"] = json.loads(line)["fps"]
+        except Exception:  # noqa: BLE001 — probe outcomes are informational
+            rc = proc.returncode if "proc" in dir() else "timeout"
+            results[f"bf16_b{B_probe}"] = f"failed (rc={rc})"
 
     ddpm = {k: v for k, v in results.items() if k.startswith(("f32", "bf16"))
             and isinstance(v, float)}
