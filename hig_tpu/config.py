@@ -21,10 +21,17 @@ from typing import Optional
 class MeshConfig:
     """Device-mesh layout. The reference's only parallelism is DP over gloo
     (SURVEY.md §2.6); here DP rides the ``data`` axis and the ``model`` axis
-    is reserved for tensor/fsdp sharding at larger scales."""
+    is used for FSDP sharding when enabled.
+
+    ``dcn_data`` > 1 builds the data axis DCN-aware for multi-slice pods
+    (jax mesh_utils.create_hybrid_device_mesh): the slowest-varying blocks
+    of the data axis align with slice/process granules, so the gradient
+    all-reduce decomposes into fast intra-slice ICI reductions plus one
+    small inter-slice DCN exchange."""
 
     data: int = -1  # -1: all devices
     model: int = 1
+    dcn_data: int = 1  # number of DCN granules (slices/hosts) on the data axis
 
 
 @dataclasses.dataclass
@@ -186,6 +193,7 @@ def _flatten(cfg: ExperimentConfig) -> dict:
     mesh = d.pop("mesh")
     d["mesh_data"] = mesh["data"]
     d["mesh_model"] = mesh["model"]
+    d["mesh_dcn_data"] = mesh["dcn_data"]
     return d
 
 
@@ -209,7 +217,8 @@ def load_opt_txt(path: str, **overrides) -> ExperimentConfig:
             key, _, value = line.partition(": ")
             raw[key] = value
     mesh = MeshConfig(
-        data=int(raw.pop("mesh_data", -1)), model=int(raw.pop("mesh_model", 1))
+        data=int(raw.pop("mesh_data", -1)), model=int(raw.pop("mesh_model", 1)),
+        dcn_data=int(raw.pop("mesh_dcn_data", 1)),
     )
     kwargs = {}
     for key, value in raw.items():
@@ -243,6 +252,7 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
         if f.name == "mesh":
             parser.add_argument("--mesh_data", type=int, default=-1)
             parser.add_argument("--mesh_model", type=int, default=1)
+            parser.add_argument("--mesh_dcn_data", type=int, default=1)
             continue
         default = f.default if f.default is not dataclasses.MISSING else None
         if f.type in ("bool", bool):
@@ -263,6 +273,7 @@ def config_from_args(args: argparse.Namespace, is_train: bool = True) -> Experim
         for f in dataclasses.fields(ExperimentConfig)
         if f.name != "mesh" and hasattr(args, f.name)
     }
-    kwargs["mesh"] = MeshConfig(data=args.mesh_data, model=args.mesh_model)
+    kwargs["mesh"] = MeshConfig(data=args.mesh_data, model=args.mesh_model,
+                                dcn_data=getattr(args, "mesh_dcn_data", 1))
     kwargs["is_train"] = is_train
     return add_dataset_paths(ExperimentConfig(**kwargs))

@@ -32,7 +32,14 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     """Global (data, model) mesh. In multi-process runs ``jax.devices()`` is
     the global device list, ordered process-major — so the data axis is
     contiguous per process and each process's addressable batch rows form one
-    block (the layout ``shard_batch`` relies on)."""
+    block (the layout ``shard_batch`` relies on).
+
+    With ``cfg.dcn_data > 1`` the device order is built DCN-aware
+    (mesh_utils.create_hybrid_device_mesh): the data axis is laid out
+    slice-major (TPU pods: ``device.slice_index``; multi-host CPU/GPU:
+    process granules), so the partitioner's gradient all-reduce becomes
+    intra-slice ICI reductions + one small inter-slice DCN exchange. Axis
+    names and all downstream sharding rules are unchanged."""
     devices = devices if devices is not None else jax.devices()
     cfg = cfg or MeshConfig()
     n = len(devices)
@@ -40,7 +47,23 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     data = cfg.data if cfg.data not in (-1, 0) else n // model
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
+    dcn = max(1, getattr(cfg, "dcn_data", 1))
+    if dcn > 1:
+        from jax.experimental import mesh_utils
+
+        if data % dcn:
+            raise ValueError(f"data axis {data} not divisible by dcn_data {dcn}")
+        # real TPU multislice exposes multiple distinct slice_index values;
+        # elsewhere (multi-host CPU/GPU, where every device reports slice 0
+        # or none) processes are the DCN granules
+        slice_ids = {getattr(d, "slice_index", None) for d in devices}
+        granule_by_slice = None not in slice_ids and len(slice_ids) > 1
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (data // dcn, model), (dcn, 1), devices,
+            process_is_granule=not granule_by_slice,
+        )
+    else:
+        arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -40,7 +40,7 @@ from hig_tpu.parallel import mesh as pmesh
 from hig_tpu.train.trainer import Trainer, make_train_step
 
 
-def run_case(fsdp: bool) -> dict:
+def run_case(fsdp: bool, dcn: int = 1) -> dict:
     n_global = nprocs * 2
     cfg = add_dataset_paths(
         ExperimentConfig(
@@ -49,7 +49,8 @@ def run_case(fsdp: bool) -> dict:
             num_text_layers=1, text_latent_dim=16, text_ff_size=32,
             text_num_heads=2, diffusion_steps=50,
             batch_size=n_global * 2, window_size=8,
-            mesh=MeshConfig(data=n_global // (2 if fsdp else 1), model=2 if fsdp else 1),
+            mesh=MeshConfig(data=n_global // (2 if fsdp else 1),
+                            model=2 if fsdp else 1, dcn_data=dcn),
             fsdp=fsdp,
         )
     )
@@ -116,7 +117,13 @@ def run_case(fsdp: bool) -> dict:
     }
 
 
-out = {"dp": run_case(fsdp=False), "fsdp": run_case(fsdp=True)}
+out = {
+    "dp": run_case(fsdp=False),
+    "fsdp": run_case(fsdp=True),
+    # DCN-aware hybrid mesh: processes act as the DCN granules
+    # (multi-slice pods use device.slice_index instead)
+    "hybrid_dcn": run_case(fsdp=False, dcn=nprocs),
+}
 with open(os.path.join(outdir, f"proc{proc_id}.json"), "w") as f:
     json.dump(out, f)
 print(f"[{proc_id}] done: {out}", flush=True)

@@ -49,7 +49,7 @@ def test_two_process_dp_and_fsdp(tmp_path):
         with open(tmp_path / f"proc{i}.json") as f:
             results.append(json.load(f))
 
-    for case in ("dp", "fsdp"):
+    for case in ("dp", "fsdp", "hybrid_dcn"):
         r0, r1 = results[0][case], results[1][case]
         assert r0["global_devices"] == 4
         # the loss is a global reduction — bitwise identical on every process
@@ -58,6 +58,8 @@ def test_two_process_dp_and_fsdp(tmp_path):
         assert r0["global_batch"] == 8  # local 4-row slices reassembled globally
     # FSDP actually sharded parameters on the model axis
     assert results[0]["fsdp"]["model_sharded_leaves"] > 0
+    # the hybrid (DCN-granule) mesh produced the same loss as the flat mesh
+    assert results[0]["hybrid_dcn"]["loss"] == results[0]["dp"]["loss"]
     # multi-host orbax checkpoint save/restore round-trips on both ranks
     assert results[0]["dp"]["ckpt_roundtrip"] and results[1]["dp"]["ckpt_roundtrip"]
 
