@@ -267,9 +267,7 @@ class TestEvaluationCaching:
         assert os.path.exists(os.path.join(log_dir, "confusion_matrixc1_rep0.png"))
         s1 = json.load(open(os.path.join(log_dir, "summaryc1.json")))
 
-        # corrupt-proof: re-eval must NOT resample (we delete the checkpoint
-        # sampling would break loudly if attempted... instead just verify the
-        # numbers reproduce exactly from the cache)
+        # cached re-eval: identical metrics without re-sampling
         run_tool("evaluation", common + ["--file_id", "c1", "--use_cache"])
         s2 = json.load(open(os.path.join(log_dir, "summaryc1.json")))
         for metric in ("Acc", "FID", "Consistency", "Diversity"):
