@@ -338,7 +338,11 @@ class SingleMotionDataset:
                 if f_tag == 0.0 and to_tag == 0.0:
                     captions.append(caption)
                 else:
-                    seg = motion[int(f_tag * 20) : int(to_tag * 20)]
+                    # Clamp to the frame region: rows-1 is the init row, and
+                    # annotation to_tags routinely overshoot the clip end —
+                    # an unclamped slice would absorb the init row as a
+                    # regular frame and then duplicate it below.
+                    seg = motion[int(f_tag * 20) : min(int(to_tag * 20), rows - 1)]
                     if len(seg) < min_len or len(seg) >= 200:
                         continue
                     seg = np.concatenate([seg, motion[-1:]], axis=0)  # keep init row

@@ -116,12 +116,35 @@ def generate_dataset(
             names.append(name)
             class_of[name] = class_id
 
-    rng.shuffle(names)
-    start = 0
-    for split_name, frac in splits.items():
-        n = max(1, int(round(frac * len(names))))
-        chunk = names[start : start + n] if start + n <= len(names) else names[start:]
-        start += len(chunk)
+    # Stratified split: every class contributes the same fraction to each
+    # split. A global shuffle makes per-class test counts binomial, which can
+    # starve a class below the MultiModality protocol's mm_num_times+1
+    # minimum (evaluation.py:278-283 constants; VERDICT r2 weak #1) even when
+    # the corpus as a whole is large enough.
+    by_class: dict[int, list[str]] = {}
+    for name in names:
+        by_class.setdefault(class_of[name], []).append(name)
+    split_list = list(splits.items())
+    split_names: dict[str, list[str]] = {s: [] for s in splits}
+    for ci, class_id in enumerate(sorted(by_class)):
+        class_names = by_class[class_id]
+        rng.shuffle(class_names)
+        n = len(class_names)
+        # largest-remainder allocation; leftover slots rotate across classes
+        # so tiny corpora still spread every split over many classes
+        base = [int(frac * n) for _, frac in split_list]
+        order = sorted(
+            range(len(split_list)),
+            key=lambda i: -(split_list[i][1] * n - base[i]),
+        )
+        for j in range(n - sum(base)):
+            base[order[(j + ci) % len(order)]] += 1
+        start = 0
+        for (split_name, _), cnt in zip(split_list, base):
+            split_names[split_name].extend(class_names[start : start + cnt])
+            start += cnt
+    for split_name, chunk in split_names.items():
+        rng.shuffle(chunk)
         with open(pjoin(root, split_name), "w") as f:
             f.write("\n".join(chunk) + "\n")
 

@@ -357,7 +357,7 @@ def ddim_sample_loop(
         return (x, rng), None
 
     pairs = jnp.stack([jnp.asarray(ts.copy()), jnp.asarray(ts_prev.copy())], axis=-1)
-    (x, _), _ = jax.lax.scan(step, (x, rng), pairs)
+    (x, _), _ = jax.lax.scan(step, (x, rng), pairs, unroll=unroll)
     return x
 
 

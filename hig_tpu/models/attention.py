@@ -242,7 +242,10 @@ class EfficientSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, src_mask, deterministic: bool = True):
-        if self.fused and not self.causal:
+        # The fused kernel has no VJP and skips dropout, so it is
+        # inference-only: fall back to the flax path when training rather
+        # than failing at grad-trace time (or silently dropping dropout).
+        if self.fused and not self.causal and deterministic:
             params = _fused_block_params(self.latent_dim, emb.shape[-1])
             mask = jnp.broadcast_to(src_mask, x.shape[:-1])
             return _fused_block_apply(
@@ -338,7 +341,9 @@ class EfficientInteractionAttention(nn.Module):
     @nn.compact
     def __call__(self, x, emb, src_mask, deterministic: bool = True):
         # x: (B, 2, T, D); emb: (B, 2, E); src_mask: (B, 1, T) or (B, 2, T).
-        if self.fused and not self.causal:
+        # Inference-only kernel (no VJP, no dropout) — see
+        # EfficientSelfAttention for the deterministic guard rationale.
+        if self.fused and not self.causal and deterministic:
             # kv from the flipped actor; kernel normalizes kv with the same
             # LN, matching the reference's shared-norm quirk
             params = _fused_block_params(self.latent_dim, emb.shape[-1])

@@ -136,6 +136,17 @@ class InteractionDenoiser(nn.Module):
         return self.latent_dim * 4
 
     def setup(self):
+        if self.causal and self.single_transformer:
+            # The merged-2T baseline concatenates the actors along the token
+            # axis, so a causal mask over token index is NOT temporal
+            # causality (actor 0 could never see actor 1; actor 1 would see
+            # actor 0's whole future). Refuse rather than silently produce
+            # wrong semantics.
+            raise ValueError(
+                "--causal cannot be combined with --single_transformer: the "
+                "merged 2T timeline has no consistent temporal order. Use "
+                "--causal with the interaction stack instead."
+            )
         self.sequence_embedding = self.param(
             "sequence_embedding",
             nn.initializers.normal(1.0),

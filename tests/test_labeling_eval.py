@@ -220,6 +220,42 @@ class TestLabeling:
         assert bool(jnp.all(s[:, 0] < s[:, 1]))
 
 
+class TestPerReplicationCaptionDraw:
+    def test_replications_can_draw_different_captions(self):
+        """tools/evaluation.py redraws captions per replication (the
+        reference's shuffled eval loader re-draws every run); a frozen draw
+        under-dispersed the CI (VERDICT r2 weak #6)."""
+        import sys
+
+        tools = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools")
+        sys.path.insert(0, tools)
+        try:
+            from evaluation import draw_captions
+        finally:
+            sys.path.remove(tools)
+
+        texts = [(f"caption A{i}", f"caption B{i}") for i in range(4)]
+        samples = [
+            dict(motion=None, length=10, class_id=0, texts=texts, name=f"clip{j}")
+            for j in range(20)
+        ]
+        picks = {
+            rep: [draw_captions(s, rep, seed=0, cap_same=False)["caption1"]
+                  for s in samples]
+            for rep in range(3)
+        }
+        # deterministic per (rep, clip): same call → same draw
+        again = [draw_captions(s, 1, seed=0, cap_same=False)["caption1"]
+                 for s in samples]
+        assert picks[1] == again
+        # but across replications the draws differ for some clips
+        assert picks[0] != picks[1] or picks[1] != picks[2]
+        # cap_same forces caption2 = caption1
+        s = draw_captions(samples[0], 0, seed=0, cap_same=True)
+        assert s["caption1"] == s["caption2"]
+
+
 class TestDeviceFID:
     def test_matches_scipy_path(self):
         from hig_tpu.eval.metrics import (

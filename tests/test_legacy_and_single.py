@@ -205,6 +205,38 @@ class TestSinglePersonPath:
         batch = collate([ds[i] for i in range(4)])
         assert batch["tokens"].shape == (4, 77)
 
+    def test_segment_to_tag_overshoot_is_clamped(self, tmp_path):
+        """An annotation whose to_tag extends past the clip end (common
+        annotation noise) must not absorb the trailing init row as a regular
+        motion frame (ADVICE r2, medium): the segment is clamped to the frame
+        region and the init row appears exactly once, at the end."""
+        from hig_tpu.config import ExperimentConfig, add_dataset_paths
+        from hig_tpu.data.dataset import SingleMotionDataset
+
+        root = tmp_path / "t2m"
+        (root / "new_joint_vecs").mkdir(parents=True)
+        (root / "texts").mkdir()
+        rng = np.random.RandomState(0)
+        T = 50  # frames; row T is the init row
+        motion = rng.randn(T + 1, 263).astype(np.float32)
+        motion[-1] = 99.0  # sentinel init row
+        np.save(root / "new_joint_vecs" / "m000.npy", motion)
+        # to_tag 5.0 → frame 100, far past the 50-frame clip
+        (root / "texts" / "m000.txt").write_text(
+            "a person walks forward#walk/VERB#0.0#0.0\n"
+            "a person turns#turn/VERB#0.5#5.0\n"
+        )
+        (root / "train.txt").write_text("m000")
+        cfg = add_dataset_paths(ExperimentConfig(dataset_name="t2m"))
+        cfg.data_root = str(root)
+        ds = SingleMotionDataset(cfg, np.zeros(266, np.float32),
+                                 np.ones(266, np.float32), "train.txt")
+        seg = next(c for c in ds.clips if c.name.startswith("S"))
+        # clamped: frames [10, 50) + one appended init row
+        assert seg.motion.shape[0] == 41
+        is_init = np.all(seg.motion == 99.0, axis=1)
+        assert is_init.sum() == 1 and is_init[-1]
+
 
 class TestLegacyProtocol:
     def test_co_embedding_pipeline(self):

@@ -290,6 +290,17 @@ class TestCausalAndBaseline:
         hoisted = model.apply(params, x, t, lengths, xf_proj, None, text_kv=kv)
         np.testing.assert_allclose(np.asarray(hoisted), np.asarray(out), atol=1e-6)
 
+    def test_causal_plus_single_transformer_refused(self):
+        """The merged-2T baseline has no consistent temporal order, so a
+        causal mask over it is not temporal causality — the combination must
+        raise instead of silently computing wrong semantics (ADVICE r2)."""
+        model = InteractionDenoiser(
+            **{**TINY, "single_transformer": True, "causal": True}
+        )
+        x, t, lengths, xf_proj, xf_out = self._args()
+        with pytest.raises(ValueError, match="single_transformer"):
+            model.init(jax.random.key(0), x, t, lengths, xf_proj, xf_out)
+
     def test_no_cross_attn_does_not_couple(self):
         """Contrast with --no_cross_attn: actors are fully independent."""
         model = InteractionDenoiser(**{**TINY, "interaction": False})

@@ -246,3 +246,34 @@ class TestFusedBlocksInDenoiser:
         want = plain.apply(params, x, t, lengths, xf_proj, xf_out)
         got = fused.apply(params, x, t, lengths, xf_proj, xf_out)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_training_falls_back_to_flax_path(self):
+        """With deterministic=False the fused kernel (no VJP, no dropout) is
+        bypassed: gradients work and match the plain denoiser's (ADVICE r2:
+        --fused_blocks previously exploded at grad-trace time inside jit)."""
+        from hig_tpu.models.denoiser import InteractionDenoiser
+
+        TINY = dict(input_feats=263, num_frames=32, latent_dim=32, ff_size=64,
+                    num_layers=2, num_heads=4, text_latent_dim=16)
+        plain = InteractionDenoiser(**TINY)
+        fused = InteractionDenoiser(**TINY, fused_blocks=True)
+        B, T = 2, 12
+        x = jax.random.normal(jax.random.key(0), (B, 2, T, 263))
+        t = jnp.asarray([3, 7])
+        lengths = jnp.asarray([T, 8])
+        xf_proj = jax.random.normal(jax.random.key(1), (B, 2, 128))
+        xf_out = jax.random.normal(jax.random.key(2), (B, 2, 7, 16))
+        params = plain.init(jax.random.key(3), x, t, lengths, xf_proj, xf_out)
+
+        def loss(model, p):
+            out = model.apply(
+                p, x, t, lengths, xf_proj, xf_out, False,
+                rngs={"dropout": jax.random.key(9)},
+            )
+            return jnp.mean(out**2)
+
+        g_plain = jax.grad(lambda p: loss(plain, p))(params)
+        g_fused = jax.grad(lambda p: loss(fused, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                        jax.tree_util.tree_leaves(g_fused)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

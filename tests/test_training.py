@@ -322,6 +322,52 @@ class TestFailureRecovery:
         ]
         assert all(np.isfinite(m["loss_mot_rec"]) for m in metrics if "loss_mot_rec" in m)
 
+    def test_rollback_works_right_after_resume(self, synth_root, tmp_path):
+        """A fault BEFORE the first in-run save on a freshly-resumed run must
+        roll back to the checkpoint --is_continue just restored, not raise
+        (VERDICT r2 weak #5: ckpt_exists started False even after restore)."""
+        from hig_tpu.data.dataset import PairDataset
+        from hig_tpu.train import checkpoint as ckpt
+        from hig_tpu.train.trainer import Trainer
+
+        cfg = tiny_cfg(str(tmp_path))
+        cfg.data_root = synth_root
+        cfg.save_latest = 1000  # no mid-run save before the injected fault
+        mean = np.load(os.path.join(synth_root, "Mean.npy"))
+        std = np.load(os.path.join(synth_root, "Std.npy"))
+        ds = PairDataset(cfg, mean, std, "train_sub.txt", times=2)
+
+        # run 1: one epoch, end-of-epoch checkpoint written
+        trainer = Trainer(cfg, clip_config=TINY_CLIP)
+        trainer.train(ds, trainer.init_state(), num_epochs=1, log=lambda *_: None)
+        latest = os.path.join(cfg.model_dir, "latest")
+        assert os.path.isdir(latest)
+
+        # run 2: resume, then fault on the very first batch
+        cfg.is_continue = True
+        trainer2 = Trainer(cfg, clip_config=TINY_CLIP)
+        state, epoch, _ = ckpt.restore_state(latest, trainer2.init_state())
+        state = trainer2.place_state(state)
+        real_device_batch = trainer2._device_batch
+        calls = {"n": 0}
+
+        def flaky(batch, tower_feats):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise jax.errors.JaxRuntimeError("injected fault after resume")
+            return real_device_batch(batch, tower_feats)
+
+        logs = []
+        trainer2._device_batch = flaky
+        try:
+            state = trainer2.train(
+                ds, state, num_epochs=epoch + 1, start_epoch=epoch, log=logs.append
+            )
+        finally:
+            trainer2._device_batch = real_device_batch
+        assert any("rolling back" in l for l in logs), logs
+        assert int(state.step) > 0
+
 
 class TestResume:
     def test_resume_matches_uninterrupted_run(self, synth_root, tmp_path):

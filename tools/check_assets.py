@@ -96,22 +96,43 @@ def main():
         status = "tower runs randomly initialized"
     report.append(("CLIP ViT-B/32 weights", clip_w, status))
 
+    # ---- NTU split/annotation files (vendored, VERDICT r2 next #2) -----------
+    split_files = ["train_sub.txt", "val_sub.txt", "test_sub.txt",
+                   "test_ann_ids.txt", "test_active_anns.json"]
+    have = [f for f in split_files if exists(pjoin(args.data_root, f))]
+    splits = args.data_root if len(have) == len(split_files) else None
+    if splits:
+        import json as _json
+
+        counts = {f: len([l for l in open(pjoin(splits, f)) if l.strip()])
+                  for f in split_files[:4]}
+        anns = _json.load(open(pjoin(splits, "test_active_anns.json")))
+        ann_ids = {l.strip() for l in open(pjoin(splits, "test_ann_ids.txt"))
+                   if l.strip()}
+        covered = sum(k in ann_ids for k in anns)
+        status = (f"train/val/test = {counts['train_sub.txt']}/"
+                  f"{counts['val_sub.txt']}/{counts['test_sub.txt']} ids; "
+                  f"{len(anns)} role annotations ({covered} on the "
+                  f"{len(ann_ids)}-id annotated split)")
+    else:
+        status = f"INCOMPLETE: have {len(have)}/{len(split_files)} files"
+    report.append(("NTU split/annotation files", splits, status))
+
     # ---- NTU feature files ----------------------------------------------------
-    ntu = args.data_root if exists(pjoin(args.data_root, "train_sub.txt")) else None
+    vec_dir = pjoin(args.data_root, "new_joint_vecs")
+    ntu = args.data_root if exists(vec_dir) and os.listdir(vec_dir) else None
     if ntu:
-        n_vec = len(os.listdir(pjoin(ntu, "new_joint_vecs"))) if exists(
-            pjoin(ntu, "new_joint_vecs")) else 0
+        n_vec = len(os.listdir(vec_dir))
         has_stats = exists(pjoin(ntu, "Mean.npy")) and exists(pjoin(ntu, "Std.npy"))
         status = f"{n_vec} feature files, Mean/Std={'yes' if has_stats else 'MISSING'}"
-        if n_vec:
-            import numpy as np
+        import numpy as np
 
-            name = open(pjoin(ntu, "train_sub.txt")).read().split()[0]
-            p = pjoin(ntu, "new_joint_vecs", f"{name}.npy")
-            if exists(p):
-                arr = np.load(p)
-                ok = arr.ndim == 3 and arr.shape[0] == 2 and arr.shape[2] == 263
-                status += f"; first clip shape {arr.shape} ({'ok' if ok else 'WRONG'})"
+        name = open(pjoin(ntu, "train_sub.txt")).read().split()[0]
+        p = pjoin(vec_dir, f"{name}.npy")
+        if exists(p):
+            arr = np.load(p)
+            ok = arr.ndim == 3 and arr.shape[0] == 2 and arr.shape[2] == 263
+            status += f"; first clip shape {arr.shape} ({'ok' if ok else 'WRONG'})"
     else:
         status = "absent (synthetic data only)"
     report.append(("NTU mutual features", ntu, status))

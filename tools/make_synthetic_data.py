@@ -4,8 +4,6 @@ import argparse
 
 import _common  # noqa: F401  (sys.path)
 
-from hig_tpu.data.synthetic import generate_dataset
-
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
@@ -14,7 +12,16 @@ def main():
     parser.add_argument("--min_frames", type=int, default=30)
     parser.add_argument("--max_frames", type=int, default=120)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (codec encode compiles in "
+                             "seconds on host vs minutes over the TPU tunnel)")
     args = parser.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from hig_tpu.data.synthetic import generate_dataset
+
     generate_dataset(
         args.root, args.clips_per_class, args.min_frames, args.max_frames, args.seed
     )

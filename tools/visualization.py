@@ -60,7 +60,14 @@ def main():
         sampler=cfg.sampler, ddim_steps=cfg.ddim_steps,
         unroll=getattr(cfg, 'sampler_unroll', 1),
     )
-    tokens = np.stack([tokenize(caption1)[0], tokenize(caption2)[0]])[None]
+    if cfg.cap_id:
+        # PIT-mode models condition on caption-key ids, not BPE tokens
+        # (ref interaction_transformer.py:436; evaluation.py does the same)
+        from hig_tpu.data.vocab import CAP2KEY
+
+        tokens = np.asarray([[CAP2KEY[caption1], CAP2KEY[caption2]]], np.int32)
+    else:
+        tokens = np.stack([tokenize(caption1)[0], tokenize(caption2)[0]])[None]
     out = sample_fn(
         state.params, jnp.asarray(tokens), jnp.asarray([T], np.int32),
         jax.random.key(args.seed),
