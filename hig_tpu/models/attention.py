@@ -94,6 +94,23 @@ def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     return x.reshape(x.shape[:-1] + (num_heads, x.shape[-1] // num_heads))
 
 
+def _merged_qkv(xn, qkv_params, dtype):
+    """One (D, 3D) matmul instead of three (D, D) ones.
+
+    x @ concat(Wq, Wk, Wv) column-concatenated is BITWISE identical to the
+    three separate products (each output column reduces over the same K
+    elements), the input activations stream from HBM once instead of three
+    times, and the concatenated weights are loop-invariant so XLA hoists
+    the concat out of a sampling scan. Parameter tree (query/key/value
+    kernel+bias) is unchanged — checkpoints are oblivious.
+    """
+    (wq, bq), (wk, bk), (wv, bv) = qkv_params
+    w = jnp.concatenate([wq, wk, wv], axis=1).astype(dtype)
+    b = jnp.concatenate([bq, bk, bv]).astype(dtype)
+    qkv = xn @ w + b
+    return jnp.split(qkv, 3, axis=-1)
+
+
 def efficient_attention(
     query: jax.Array,
     key: jax.Array,
@@ -241,7 +258,7 @@ class EfficientSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, src_mask, deterministic: bool = True):
+    def __call__(self, x, emb, src_mask, deterministic: bool = True, adaln=None):
         # The fused kernel has no VJP and skips dropout, so it is
         # inference-only: fall back to the flax path when training rather
         # than failing at grad-trace time (or silently dropping dropout).
@@ -252,23 +269,24 @@ class EfficientSelfAttention(nn.Module):
                 x, x, mask, emb, params, self.num_heads, self.dtype
             )
         xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        D = self.latent_dim
+        qkv_params = (
+            _DenseParams(D, D, name="query")(),
+            _DenseParams(D, D, name="key")(),
+            _DenseParams(D, D, name="value")(),
+        )
         if self.use_pallas and not self.causal:
-            D = self.latent_dim
-            qkv = (
-                _DenseParams(D, D, name="query")(),
-                _DenseParams(D, D, name="key")(),
-                _DenseParams(D, D, name="value")(),
-            )
-            y = _fused_projected(xn, xn, qkv, self.num_heads, key_mask=src_mask)
+            y = _fused_projected(xn, xn, qkv_params, self.num_heads, key_mask=src_mask)
         else:
-            q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
-            k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xn)
-            v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xn)
+            q, k, v = _merged_qkv(xn, qkv_params, self.dtype)
             attend = causal_efficient_attention if self.causal else efficient_attention
             y = attend(q, k, v, self.num_heads, key_mask=src_mask)
-        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
-            y, emb, deterministic
-        )
+        styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")
+        if adaln is not None:
+            # (scale, shift) precomputed outside a sampling scan
+            # (adaln_scale_shift_grid) — skips the per-step emb projection.
+            return x + styl.from_scale_shift(y, *adaln, deterministic)
+        return x + styl(y, emb, deterministic)
 
 
 class EfficientCrossAttention(nn.Module):
@@ -308,15 +326,17 @@ class EfficientCrossAttention(nn.Module):
         k = jax.nn.softmax(k, axis=-3)  # over the text-token axis
         return jnp.einsum("...nhd,...nhl->...hdl", k, v)
 
-    def from_kv(self, x, kv, emb, deterministic: bool = True):
+    def from_kv(self, x, kv, emb, deterministic: bool = True, adaln=None):
         q = _split_heads(self.query(self.norm(x)), self.num_heads)
         q = jax.nn.softmax(q, axis=-1)
         y = jnp.einsum("...nhd,...hdl->...nhl", q, kv)
         y = y.reshape(y.shape[:-2] + (self.latent_dim,))
+        if adaln is not None:
+            return x + self.proj_out.from_scale_shift(y, *adaln, deterministic)
         return x + self.proj_out(y, emb, deterministic)
 
-    def __call__(self, x, xf, emb, deterministic: bool = True):
-        return self.from_kv(x, self.kv(xf), emb, deterministic)
+    def __call__(self, x, xf, emb, deterministic: bool = True, adaln=None):
+        return self.from_kv(x, self.kv(xf), emb, deterministic, adaln=adaln)
 
 
 class EfficientInteractionAttention(nn.Module):
@@ -339,7 +359,7 @@ class EfficientInteractionAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, src_mask, deterministic: bool = True):
+    def __call__(self, x, emb, src_mask, deterministic: bool = True, adaln=None):
         # x: (B, 2, T, D); emb: (B, 2, E); src_mask: (B, 1, T) or (B, 2, T).
         # Inference-only kernel (no VJP, no dropout) — see
         # EfficientSelfAttention for the deterministic guard rationale.
@@ -356,26 +376,31 @@ class EfficientInteractionAttention(nn.Module):
         # once and flip.
         norm = nn.LayerNorm(dtype=self.dtype, name="norm")
         xn = norm(x)
-        pn = jnp.flip(xn, axis=1)
         mask = jnp.broadcast_to(src_mask, x.shape[:-1])
         pmask = jnp.flip(mask, axis=1)
+        D = self.latent_dim
+        qkv_params = (
+            _DenseParams(D, D, name="query")(),
+            _DenseParams(D, D, name="key")(),
+            _DenseParams(D, D, name="value")(),
+        )
         if self.use_pallas and not self.causal:
-            D = self.latent_dim
-            qkv = (
-                _DenseParams(D, D, name="query")(),
-                _DenseParams(D, D, name="key")(),
-                _DenseParams(D, D, name="value")(),
-            )
-            y = _fused_projected(xn, pn, qkv, self.num_heads, key_mask=pmask)
+            pn = jnp.flip(xn, axis=1)
+            y = _fused_projected(xn, pn, qkv_params, self.num_heads, key_mask=pmask)
         else:
-            q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
-            k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(pn)
-            v = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(pn)
+            # Dense is per-token, so k(flip(x)) == flip(k(x)): project all of
+            # q/k/v from xn in ONE merged matmul, then flip k/v on the
+            # 2-element actor axis (a metadata-cheap rev) — the partner
+            # stream never needs its own projection pass.
+            q, k, v = _merged_qkv(xn, qkv_params, self.dtype)
+            k = jnp.flip(k, axis=1)
+            v = jnp.flip(v, axis=1)
             attend = causal_efficient_attention if self.causal else efficient_attention
             y = attend(q, k, v, self.num_heads, key_mask=pmask)
-        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
-            y, emb, deterministic
-        )
+        styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")
+        if adaln is not None:
+            return x + styl.from_scale_shift(y, *adaln, deterministic)
+        return x + styl(y, emb, deterministic)
 
 
 class QuadraticSelfAttention(nn.Module):
@@ -399,7 +424,7 @@ class QuadraticSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, src_mask, deterministic: bool = True):
+    def __call__(self, x, emb, src_mask, deterministic: bool = True, adaln=None):
         xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         q = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
         k = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xn)
@@ -416,9 +441,10 @@ class QuadraticSelfAttention(nn.Module):
             if self.causal:
                 bias = bias + causal_bias(x.shape[-2], bias.dtype)
             y = quadratic_attention(q, k, v, self.num_heads, logit_bias=bias)
-        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
-            y, emb, deterministic
-        )
+        styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")
+        if adaln is not None:
+            return x + styl.from_scale_shift(y, *adaln, deterministic)
+        return x + styl(y, emb, deterministic)
 
 
 class QuadraticCrossAttention(nn.Module):
@@ -446,14 +472,16 @@ class QuadraticCrossAttention(nn.Module):
         xfn = self.text_norm(xf)
         return self.key(xfn), self.value(xfn)
 
-    def from_kv(self, x, kv, emb, deterministic: bool = True):
+    def from_kv(self, x, kv, emb, deterministic: bool = True, adaln=None):
         k, v = kv
         q = self.query(self.norm(x))
         y = quadratic_attention(q, k, v, self.num_heads)
+        if adaln is not None:
+            return x + self.proj_out.from_scale_shift(y, *adaln, deterministic)
         return x + self.proj_out(y, emb, deterministic)
 
-    def __call__(self, x, xf, emb, deterministic: bool = True):
-        return self.from_kv(x, self.kv(xf), emb, deterministic)
+    def __call__(self, x, xf, emb, deterministic: bool = True, adaln=None):
+        return self.from_kv(x, self.kv(xf), emb, deterministic, adaln=adaln)
 
 
 class QuadraticInteractionAttention(nn.Module):
@@ -467,7 +495,7 @@ class QuadraticInteractionAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, src_mask, deterministic: bool = True):
+    def __call__(self, x, emb, src_mask, deterministic: bool = True, adaln=None):
         partner = jnp.flip(x, axis=1)
         norm = nn.LayerNorm(dtype=self.dtype, name="norm")
         text_norm = nn.LayerNorm(dtype=self.dtype, name="text_norm")
@@ -489,9 +517,10 @@ class QuadraticInteractionAttention(nn.Module):
             if self.causal:  # attend only to the partner's past
                 bias = bias + causal_bias(x.shape[-2], bias.dtype)
             y = quadratic_attention(q, k, v, self.num_heads, logit_bias=bias)
-        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
-            y, emb, deterministic
-        )
+        styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")
+        if adaln is not None:
+            return x + styl.from_scale_shift(y, *adaln, deterministic)
+        return x + styl(y, emb, deterministic)
 
 
 class FFN(nn.Module):
@@ -506,7 +535,7 @@ class FFN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, deterministic: bool = True):
+    def __call__(self, x, emb, deterministic: bool = True, adaln=None):
         h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -516,6 +545,7 @@ class FFN(nn.Module):
             dtype=self.dtype,
             name="linear2",
         )(h)
-        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")(
-            h, emb, deterministic
-        )
+        styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")
+        if adaln is not None:
+            return x + styl.from_scale_shift(h, *adaln, deterministic)
+        return x + styl(h, emb, deterministic)

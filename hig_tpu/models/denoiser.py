@@ -90,15 +90,19 @@ class InteractionDenoiserLayer(nn.Module):
         """This layer's loop-invariant text cross-attention state."""
         return self.ca_block.kv(xf_out)
 
-    def __call__(self, x, xf_out, emb, src_mask, deterministic: bool = True, text_kv=None):
-        x = self.sa_block(x, emb, src_mask, deterministic)
+    def __call__(self, x, xf_out, emb, src_mask, deterministic: bool = True,
+                 text_kv=None, adaln=None):
+        a = adaln or {}
+        x = self.sa_block(x, emb, src_mask, deterministic, adaln=a.get("sa"))
         if text_kv is None:
-            x = self.ca_block(x, xf_out, emb, deterministic)
+            x = self.ca_block(x, xf_out, emb, deterministic, adaln=a.get("ca"))
         else:
-            x = self.ca_block.from_kv(x, text_kv, emb, deterministic)
+            x = self.ca_block.from_kv(x, text_kv, emb, deterministic,
+                                      adaln=a.get("ca"))
         if self.interaction:
-            x = self.int_ca_block(x, emb, src_mask, deterministic)
-        return self.ffn(x, emb, deterministic)
+            x = self.int_ca_block(x, emb, src_mask, deterministic,
+                                  adaln=a.get("int"))
+        return self.ffn(x, emb, deterministic, adaln=a.get("ffn"))
 
 
 class InteractionDenoiser(nn.Module):
@@ -226,6 +230,7 @@ class InteractionDenoiser(nn.Module):
         xf_out: jax.Array | None,
         deterministic: bool = True,
         text_kv: tuple | None = None,
+        adaln: tuple | None = None,
     ) -> jax.Array:
         B, A, T, D_in = x.shape
         assert A == 2, "actor axis must be 2"
@@ -236,7 +241,15 @@ class InteractionDenoiser(nn.Module):
         init = self.joint_embed2(x[:, :, 0, :4])
         h = jnp.concatenate([init[:, :, None, :], move], axis=2)
 
-        emb = self.time_embed(timesteps)[:, None, :] + xf_proj
+        # ``adaln``: per-layer dicts of precomputed StylizationBlock
+        # (scale, shift) pairs (adaln_scale_shift_grid in train/trainer.py) —
+        # a sampling scan hoists the whole time-embed + AdaLN projection
+        # stack out of the loop; emb is then only needed by blocks that did
+        # not receive a precomputed pair.
+        if adaln is None:
+            emb = self.time_embed(timesteps)[:, None, :] + xf_proj
+        else:
+            emb = None
 
         src_mask = length_mask(lengths, T, self.dtype)[:, None, :]  # (B, 1, T)
 
@@ -244,13 +257,15 @@ class InteractionDenoiser(nn.Module):
             # one 2T-token timeline; per-sequence conditioning is the mean of
             # the two actors' pooled text embeddings (symmetric in the actors)
             h = h.reshape(B, A * T, -1)
-            emb = jnp.mean(emb, axis=1)
+            if emb is not None:
+                emb = jnp.mean(emb, axis=1)
             merged_mask = jnp.broadcast_to(src_mask, (B, A, T)).reshape(B, A * T)
             xf_merged = None if xf_out is None else self._merge_text(xf_out)
             for i, layer in enumerate(self.layers):
                 h = layer(
                     h, xf_merged, emb, merged_mask, deterministic,
                     text_kv=None if text_kv is None else text_kv[i],
+                    adaln=None if adaln is None else adaln[i],
                 )
             h = h.reshape(B, A, T, -1)
         else:
@@ -258,6 +273,7 @@ class InteractionDenoiser(nn.Module):
                 h = layer(
                     h, xf_out, emb, src_mask, deterministic,
                     text_kv=None if text_kv is None else text_kv[i],
+                    adaln=None if adaln is None else adaln[i],
                 )
 
         return jnp.concatenate([self.out2(h[:, :, :1]), self.out(h[:, :, 1:])], axis=2)
@@ -300,13 +316,16 @@ class SinglePersonDenoiserLayer(nn.Module):
     def text_kv(self, xf_out):
         return self.ca_block.kv(xf_out)
 
-    def __call__(self, x, xf_out, emb, src_mask, deterministic: bool = True, text_kv=None):
-        x = self.sa_block(x, emb, src_mask, deterministic)
+    def __call__(self, x, xf_out, emb, src_mask, deterministic: bool = True,
+                 text_kv=None, adaln=None):
+        a = adaln or {}
+        x = self.sa_block(x, emb, src_mask, deterministic, adaln=a.get("sa"))
         if text_kv is None:
-            x = self.ca_block(x, xf_out, emb, deterministic)
+            x = self.ca_block(x, xf_out, emb, deterministic, adaln=a.get("ca"))
         else:
-            x = self.ca_block.from_kv(x, text_kv, emb, deterministic)
-        return self.ffn(x, emb, deterministic)
+            x = self.ca_block.from_kv(x, text_kv, emb, deterministic,
+                                      adaln=a.get("ca"))
+        return self.ffn(x, emb, deterministic, adaln=a.get("ffn"))
 
 
 class MotionDenoiser(nn.Module):

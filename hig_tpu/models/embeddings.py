@@ -53,26 +53,46 @@ class StylizationBlock(nn.Module):
     """AdaLN gate: h ← out(SiLU(norm(h)·(1+scale)+shift)), zero-init output.
 
     (ref: interaction_transformer.py:71-97)
+
+    The (scale, shift) half only depends on the conditioning ``emb`` — for a
+    sampling scan whose timestep grid is known up front, :meth:`scale_shift`
+    can be evaluated for EVERY step in one batched call outside the loop
+    (see InteractionDenoiser.adaln_grid), so the per-step body skips the
+    SiLU + (E, 2D) projection and stops streaming those weights from HBM
+    every step. :meth:`from_scale_shift` is the per-step remainder; the
+    composition is bitwise identical to :meth:`__call__`.
     """
 
     latent_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # attribute names become the param-tree names — identical to the
+        # previous nn.compact layout (emb/norm/out), so checkpoints swap.
+        self.emb = nn.Dense(2 * self.latent_dim, dtype=self.dtype)
+        self.norm = nn.LayerNorm(dtype=self.dtype)
+        self.out = nn.Dense(
+            self.latent_dim, kernel_init=nn.initializers.zeros, dtype=self.dtype
+        )
+        self.drop = nn.Dropout(self.dropout)
+
+    def scale_shift(self, emb: jax.Array) -> tuple:
+        """emb (..., E) → (scale, shift), each (..., 1, latent_dim)."""
+        emb_out = self.emb(nn.silu(emb))
+        scale, shift = jnp.split(emb_out[..., None, :], 2, axis=-1)
+        return scale, shift
+
+    def from_scale_shift(self, h, scale, shift, deterministic: bool = True):
+        h = self.norm(h) * (1 + scale) + shift
+        h = nn.silu(h)
+        h = self.drop(h, deterministic=deterministic)
+        return self.out(h)
+
     def __call__(self, h: jax.Array, emb: jax.Array, deterministic: bool = True) -> jax.Array:
         # emb: (..., E) broadcast over the time axis of h (..., T, D).
-        emb_out = nn.Dense(2 * self.latent_dim, dtype=self.dtype, name="emb")(nn.silu(emb))
-        scale, shift = jnp.split(emb_out[..., None, :], 2, axis=-1)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h) * (1 + scale) + shift
-        h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(
-            self.latent_dim,
-            kernel_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="out",
-        )(h)
+        scale, shift = self.scale_shift(emb)
+        return self.from_scale_shift(h, scale, shift, deterministic)
 
 
 def length_mask(lengths: jax.Array, T: int, dtype=jnp.float32) -> jax.Array:

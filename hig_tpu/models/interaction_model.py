@@ -138,9 +138,11 @@ class InteractionModel(nn.Module):
         xf_out: jax.Array | None,
         deterministic: bool = True,
         text_kv: tuple | None = None,
+        adaln: tuple | None = None,
     ) -> jax.Array:
         return self.denoiser(
-            x, timesteps, lengths, xf_proj, xf_out, deterministic, text_kv=text_kv
+            x, timesteps, lengths, xf_proj, xf_out, deterministic,
+            text_kv=text_kv, adaln=adaln,
         )
 
     def __call__(

@@ -289,6 +289,52 @@ def cast_floating(tree, dtype):
     )
 
 
+def adaln_scale_shift_grid(model: InteractionModel, params, ts, xf_proj):
+    """Every StylizationBlock's (scale, shift) for every timestep in ``ts``,
+    computed in ONE batched pass — the sampling-scan hoist of the whole
+    time-embed + AdaLN projection stack (the reference recomputes it in all
+    1000 steps, interaction_transformer.py:361 → :84-92).
+
+    Pure function over the raw param tree; numerically identical to the
+    in-loop path (pinned by tests/test_models.py::test_adaln_grid_hoist).
+    Returns a tuple over layers of {block: (scale, shift)} with a leading
+    len(ts) axis, ready to be fed to a scan as per-step xs.
+    """
+    from hig_tpu.models.embeddings import timestep_embedding
+
+    dtype = model.dtype
+    dp = params["params"]["denoiser"]
+
+    def dense(p, x):
+        return x.astype(dtype) @ p["kernel"].astype(dtype) + p["bias"].astype(dtype)
+
+    # TimeEmbedMLP over the whole grid: (S,) → (S, E)
+    h = timestep_embedding(jnp.asarray(ts), model.latent_dim)
+    temb = dense(dp["time_embed"]["fc2"],
+                 jax.nn.silu(dense(dp["time_embed"]["fc1"], h)))
+    emb = temb[:, None, None, :] + xf_proj[None].astype(dtype)  # (S, B, 2, E)
+    if model.single_transformer:
+        emb = jnp.mean(emb, axis=2)  # merged-timeline conditioning
+
+    def scale_shift(block_params, emb):
+        out = dense(block_params["proj_out"]["emb"], jax.nn.silu(emb))
+        out = out[..., None, :]
+        scale, shift = jnp.split(out, 2, axis=-1)
+        return scale, shift
+
+    n_layers = sum(1 for k in dp if k.startswith("layer_"))
+    grid = []
+    for i in range(n_layers):
+        lp = dp[f"layer_{i}"]
+        grid.append({
+            short: scale_shift(lp[full], emb)
+            for short, full in (("sa", "sa_block"), ("ca", "ca_block"),
+                                ("int", "int_ca_block"), ("ffn", "ffn"))
+            if full in lp
+        })
+    return tuple(grid)
+
+
 def make_sampler(
     model: InteractionModel,
     sched: g.DiffusionSchedule,
@@ -297,15 +343,20 @@ def make_sampler(
     sampler: str = "ddpm",
     ddim_steps: int = 50,
     unroll: int = 1,
+    hoist_adaln: bool = True,
 ) -> Callable:
     """Returns sample(params, cond, lengths, rng) -> (B, 2, T, dim_pose).
 
     cond is (B, 2, 77) tokens or (B, 2) cap ids. Everything loop-invariant
     is hoisted out of the scan: text is encoded once (as the reference does
-    at :187-197) and each layer's text-KV state is precomputed once — the
-    reference recomputes text K/V projections in all 1000 steps. When the
-    model's compute dtype is bf16, params are cast once up front.
+    at :187-197), each layer's text-KV state is precomputed once — the
+    reference recomputes text K/V projections in all 1000 steps — and, for
+    DDIM (whose timestep grid is known up front), so is every block's AdaLN
+    (scale, shift). When the model's compute dtype is bf16, params are cast
+    once up front.
     """
+    # the fused-block kernel computes its own AdaLN gate internally
+    hoist = hoist_adaln and sampler == "ddim" and not model.fused_blocks
 
     @jax.jit
     def sample(params, cond, lengths, rng):
@@ -318,16 +369,21 @@ def make_sampler(
         text_kv = model.apply(params, xf_out, method=InteractionModel.text_kv)
         lengths = jnp.minimum(lengths, T)
 
-        def denoiser(x, t):
+        def denoiser(x, t, adaln=None):
             return model.apply(
                 params, x, t, lengths, xf_proj, None, True,
-                method=InteractionModel.denoise, text_kv=text_kv,
+                method=InteractionModel.denoise, text_kv=text_kv, adaln=adaln,
             )
 
         shape = (B, 2, T, dim_pose)
         if sampler == "ddim":
+            aux = None
+            if hoist:
+                ts = g.ddim_timesteps(sched.num_timesteps, ddim_steps)
+                aux = adaln_scale_shift_grid(model, params, ts, xf_proj)
             return g.ddim_sample_loop(
-                sched, denoiser, shape, rng, num_steps=ddim_steps, unroll=unroll
+                sched, denoiser, shape, rng, num_steps=ddim_steps, unroll=unroll,
+                model_aux=aux,
             )
         return g.p_sample_loop(sched, denoiser, shape, rng, unroll=unroll)
 

@@ -101,6 +101,26 @@ class TestSamplers:
         out = g.ddim_sample_loop(sched, model, x0.shape, jax.random.key(0), num_steps=50)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
 
+    def test_ddim_fast_path_matches_general_path(self, sched):
+        """The deterministic (eta=0, no-clip) DDIM fast path — one linear
+        fma per step — must match the general 6-op update chain. With a
+        perfect model whose x0 lies inside [-1,1], clip_denoised=True is a
+        mathematical no-op, so it exercises the general path on identical
+        math."""
+        x0 = jnp.ones((2, 4, 3)) * jnp.asarray([0.5, -0.25, 0.75])
+        model = self._perfect_model(sched, x0)
+        fast = g.ddim_sample_loop(
+            sched, model, x0.shape, jax.random.key(3), num_steps=25
+        )
+        general = g.ddim_sample_loop(
+            sched, model, x0.shape, jax.random.key(3), num_steps=25,
+            clip_denoised=True,
+        )
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(general),
+                                   atol=1e-4)
+        # (eta>0 cannot be distinguished here: a perfect model's final t=0
+        # step maps any x_t to x0 exactly, erasing the injected noise.)
+
     def test_ddim_unroll_is_wired_and_equivalent(self, sched):
         """--sampler_unroll reaches the DDIM scan (ADVICE r2: it was a silent
         no-op for the production sampler) and is a pure scheduling knob —

@@ -121,6 +121,30 @@ class TestInteractionDenoiser:
         hoisted = model.apply(params, x, t, lengths, xf_proj, None, text_kv=kv)
         np.testing.assert_allclose(np.asarray(hoisted), np.asarray(direct), atol=1e-6)
 
+    def test_adaln_grid_hoist_matches_direct(self, interaction_model):
+        """adaln_scale_shift_grid (the sampler's out-of-loop AdaLN hoist, a
+        pure function over the raw param tree) must reproduce the in-loop
+        time-embed + StylizationBlock projections exactly: denoise with a
+        per-step slice of the grid == denoise computing emb in-loop."""
+        from hig_tpu.train.trainer import adaln_scale_shift_grid
+
+        model, params, (x, t, lengths, xf_proj, xf_out) = interaction_model
+        # denoiser timesteps are shared per batch in sampling
+        t_shared = jnp.full_like(t, int(t[0]))
+        want = model.apply(params, x, t_shared, lengths, xf_proj, xf_out)
+
+        ts = np.asarray([int(t[0]), 5])  # step 0 of the grid == t_shared
+        fake_params = {"params": {"denoiser": params["params"]}}
+        stub = type("M", (), {"dtype": model.dtype, "latent_dim": model.latent_dim,
+                              "single_transformer": False})()
+        grid = adaln_scale_shift_grid(stub, fake_params, ts, xf_proj)
+        step0 = tuple(
+            {k: (s[0], sh[0]) for k, (s, sh) in layer.items()} for layer in grid
+        )
+        got = model.apply(params, x, t_shared, lengths, xf_proj, xf_out,
+                          adaln=step0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
     def test_quadratic_variant_runs(self):
         model = InteractionDenoiser(**{**TINY, "efficient": False})
         B, T = 2, 12

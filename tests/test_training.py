@@ -168,6 +168,26 @@ class TestTraining:
         assert out.shape == (1, 2, 25, 263)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_sampler_adaln_hoist_equivalent(self, trained):
+        """make_sampler's out-of-scan AdaLN grid (hoist_adaln=True, the
+        default for DDIM) must reproduce the in-loop computation."""
+        from hig_tpu.data.vocab import CLASSID2CAPS
+        from hig_tpu.models.tokenizer import tokenize
+        from hig_tpu.train.trainer import make_sampler
+
+        cfg, trainer, state, _ = trained
+        kw = dict(T=25, dim_pose=263, sampler="ddim", ddim_steps=5)
+        hoisted = make_sampler(trainer.model, trainer.sched, **kw)
+        inloop = make_sampler(trainer.model, trainer.sched, hoist_adaln=False, **kw)
+        c1, c2 = CLASSID2CAPS[2]
+        tokens = jnp.asarray(np.stack([tokenize([c1])[0], tokenize([c2])[0]])[None])
+        lengths = jnp.asarray([25])
+        a = hoisted(state.params, tokens, lengths, jax.random.key(0))
+        b = inloop(state.params, tokens, lengths, jax.random.key(0))
+        # same math, different fusion order — tiny fp drift accumulates
+        # across the residual stream over the 5 scan steps
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
 
 class TestSupervisedMode:
     def test_labeled_training_step(self, synth_root, tmp_path):
