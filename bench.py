@@ -84,6 +84,11 @@ def main():
     results["f32_b64"], fused_time = time_sampler(model_f32, 64)
     results["bf16_b64"], _ = time_sampler(model_bf16, 64)
     results["ddim50_bf16_b64"], _ = time_sampler(model_bf16, 64, sampler="ddim")
+    # opt-in fast-LN path (bf16 LayerNorm statistics): quality-validated on
+    # the full five-metric eval (NOTES.md) but numerics-changing, so it is
+    # reported alongside rather than as the headline.
+    model_fastln = InteractionModel(dtype=jnp.bfloat16, fast_ln=True)
+    results["ddim50_fastln_bf16_b64"], _ = time_sampler(model_fastln, 64, sampler="ddim")
 
     # --- reference-style host loop on the same chip (f32 — ref has no AMP) --
     # Measured BEFORE the large-batch child probes: B=256 kills the TPU
@@ -184,7 +189,9 @@ def main():
         "configs_fps": {
             k: (round(v, 1) if isinstance(v, float) else v) for k, v in results.items()
         },
-        "equivalence_evidence": "results/ddpm_vs_ddim/ (3 reps per sampler, same ckpt)",
+        "equivalence_evidence": "results/eqrun3_allfive/ (all 5 metrics incl. "
+                                "nonzero MultiModality, 3 reps per sampler, "
+                                "same ckpt; earlier points in results/ddpm_vs_ddim/)",
         "n_devices": len(jax.devices()),
     }
     print(json.dumps(result))

@@ -115,6 +115,11 @@ class ExperimentConfig:
     fused_blocks: bool = False
     use_native_loader: bool = False  # C++ batch loader fast path (native/)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # keep LayerNorm statistics in the compute dtype instead of flax's f32
+    # promotion — removes the f32 convert/copy churn around every norm in
+    # bf16 graphs (~19% of the DDIM step was f32 layout copies, ROOFLINE.md).
+    # Opt-in: changes numerics; five-metric eval parity evidence in NOTES.md.
+    fast_ln: bool = False
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     window_size: int = 90  # training window frames (ref: mul_dataset.py:186)
     # multi-host: call jax.distributed.initialize at CLI entry (the

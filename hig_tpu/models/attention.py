@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hig_tpu.models.embeddings import StylizationBlock
+from hig_tpu.models.embeddings import StylizationBlock, make_layer_norm
 
 
 def _attend(query, key, value, num_heads, key_mask=None, use_pallas=False):
@@ -255,6 +255,7 @@ class EfficientSelfAttention(nn.Module):
     use_pallas: bool = False
     fused: bool = False
     causal: bool = False
+    fast_ln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -268,7 +269,7 @@ class EfficientSelfAttention(nn.Module):
             return _fused_block_apply(
                 x, x, mask, emb, params, self.num_heads, self.dtype
             )
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        xn = make_layer_norm(self.dtype, self.fast_ln, name="norm")(x)
         D = self.latent_dim
         qkv_params = (
             _DenseParams(D, D, name="query")(),
@@ -281,7 +282,8 @@ class EfficientSelfAttention(nn.Module):
             q, k, v = _merged_qkv(xn, qkv_params, self.dtype)
             attend = causal_efficient_attention if self.causal else efficient_attention
             y = attend(q, k, v, self.num_heads, key_mask=src_mask)
-        styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")
+        styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype,
+                                self.fast_ln, name="proj_out")
         if adaln is not None:
             # (scale, shift) precomputed outside a sampling scan
             # (adaln_scale_shift_grid) — skips the per-step emb projection.
@@ -308,15 +310,17 @@ class EfficientCrossAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_pallas: bool = False
+    fast_ln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.norm = nn.LayerNorm(dtype=self.dtype)
-        self.text_norm = nn.LayerNorm(dtype=self.dtype)
+        self.norm = make_layer_norm(self.dtype, self.fast_ln)
+        self.text_norm = nn.LayerNorm(dtype=self.dtype)  # runs once (hoisted)
         self.query = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.key = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.value = nn.Dense(self.latent_dim, dtype=self.dtype)
-        self.proj_out = StylizationBlock(self.latent_dim, self.dropout, self.dtype)
+        self.proj_out = StylizationBlock(self.latent_dim, self.dropout, self.dtype,
+                                         self.fast_ln)
 
     def kv(self, xf: jax.Array) -> jax.Array:
         """Loop-invariant text KᵀV product: (..., L, Dt) → (..., H, dh, dh)."""
@@ -356,6 +360,7 @@ class EfficientInteractionAttention(nn.Module):
     use_pallas: bool = False
     fused: bool = False
     causal: bool = False
+    fast_ln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -374,7 +379,7 @@ class EfficientInteractionAttention(nn.Module):
             )
         # LayerNorm is per-token, so norm(flip(x)) == flip(norm(x)): normalize
         # once and flip.
-        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        norm = make_layer_norm(self.dtype, self.fast_ln, name="norm")
         xn = norm(x)
         mask = jnp.broadcast_to(src_mask, x.shape[:-1])
         pmask = jnp.flip(mask, axis=1)
@@ -397,7 +402,8 @@ class EfficientInteractionAttention(nn.Module):
             v = jnp.flip(v, axis=1)
             attend = causal_efficient_attention if self.causal else efficient_attention
             y = attend(q, k, v, self.num_heads, key_mask=pmask)
-        styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")
+        styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype,
+                                self.fast_ln, name="proj_out")
         if adaln is not None:
             return x + styl.from_scale_shift(y, *adaln, deterministic)
         return x + styl(y, emb, deterministic)
@@ -532,6 +538,7 @@ class FFN(nn.Module):
     latent_dim: int
     ffn_dim: int
     dropout: float = 0.0
+    fast_ln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -545,7 +552,8 @@ class FFN(nn.Module):
             dtype=self.dtype,
             name="linear2",
         )(h)
-        styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype, name="proj_out")
+        styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype,
+                                self.fast_ln, name="proj_out")
         if adaln is not None:
             return x + styl.from_scale_shift(h, *adaln, deterministic)
         return x + styl(h, emb, deterministic)

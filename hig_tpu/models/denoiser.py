@@ -53,6 +53,7 @@ class InteractionDenoiserLayer(nn.Module):
     use_pallas: bool = False
     fused_blocks: bool = False
     causal: bool = False
+    fast_ln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -60,18 +61,21 @@ class InteractionDenoiserLayer(nn.Module):
         if self.efficient:
             self.sa_block = EfficientSelfAttention(
                 self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
-                fused=self.fused_blocks, causal=self.causal, **kw
+                fused=self.fused_blocks, causal=self.causal,
+                fast_ln=self.fast_ln, **kw
             )
             self.ca_block = EfficientCrossAttention(
                 self.latent_dim, self.text_latent_dim, self.num_heads,
-                use_pallas=self.use_pallas, **kw
+                use_pallas=self.use_pallas, fast_ln=self.fast_ln, **kw
             )
             if self.interaction:
                 self.int_ca_block = EfficientInteractionAttention(
                     self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
-                    fused=self.fused_blocks, causal=self.causal, **kw
+                    fused=self.fused_blocks, causal=self.causal,
+                    fast_ln=self.fast_ln, **kw
                 )
         else:
+            # the --no_eff compat path keeps flax's default f32 LN statistics
             self.sa_block = QuadraticSelfAttention(
                 self.latent_dim, self.num_heads, causal=self.causal,
                 use_pallas=self.use_pallas, **kw
@@ -84,7 +88,8 @@ class InteractionDenoiserLayer(nn.Module):
                     self.latent_dim, self.num_heads, causal=self.causal,
                     use_pallas=self.use_pallas, **kw
                 )
-        self.ffn = FFN(self.latent_dim, self.ff_size, **kw)
+        self.ffn = FFN(self.latent_dim, self.ff_size,
+                       fast_ln=self.fast_ln and self.efficient, **kw)
 
     def text_kv(self, xf_out):
         """This layer's loop-invariant text cross-attention state."""
@@ -133,6 +138,7 @@ class InteractionDenoiser(nn.Module):
     fused_blocks: bool = False
     causal: bool = False
     single_transformer: bool = False
+    fast_ln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -178,6 +184,7 @@ class InteractionDenoiser(nn.Module):
                     efficient=self.efficient,
                     use_pallas=self.use_pallas,
                     causal=self.causal,
+                    fast_ln=self.fast_ln,
                     dtype=self.dtype,
                     name=f"layer_{i}",
                 )
@@ -196,6 +203,7 @@ class InteractionDenoiser(nn.Module):
                     use_pallas=self.use_pallas,
                     fused_blocks=self.fused_blocks,
                     causal=self.causal,
+                    fast_ln=self.fast_ln,
                     dtype=self.dtype,
                     name=f"layer_{i}",
                 )
@@ -290,6 +298,7 @@ class SinglePersonDenoiserLayer(nn.Module):
     efficient: bool = True
     use_pallas: bool = False
     causal: bool = False
+    fast_ln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -297,11 +306,11 @@ class SinglePersonDenoiserLayer(nn.Module):
         if self.efficient:
             self.sa_block = EfficientSelfAttention(
                 self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
-                causal=self.causal, **kw
+                causal=self.causal, fast_ln=self.fast_ln, **kw
             )
             self.ca_block = EfficientCrossAttention(
                 self.latent_dim, self.text_latent_dim, self.num_heads,
-                use_pallas=self.use_pallas, **kw
+                use_pallas=self.use_pallas, fast_ln=self.fast_ln, **kw
             )
         else:
             self.sa_block = QuadraticSelfAttention(
@@ -311,7 +320,8 @@ class SinglePersonDenoiserLayer(nn.Module):
             self.ca_block = QuadraticCrossAttention(
                 self.latent_dim, self.text_latent_dim, self.num_heads, **kw
             )
-        self.ffn = FFN(self.latent_dim, self.ff_size, **kw)
+        self.ffn = FFN(self.latent_dim, self.ff_size,
+                       fast_ln=self.fast_ln and self.efficient, **kw)
 
     def text_kv(self, xf_out):
         return self.ca_block.kv(xf_out)

@@ -49,6 +49,20 @@ class TimeEmbedMLP(nn.Module):
         return nn.Dense(self.time_embed_dim, dtype=self.dtype, name="fc2")(h)
 
 
+def make_layer_norm(dtype, fast_ln: bool = False, name: str | None = None):
+    """LayerNorm whose statistics stay in the compute dtype when ``fast_ln``.
+
+    flax promotes LN mean/variance to f32 by default; in a bf16 graph that
+    materializes f32 intermediates around every norm — on the v5e device
+    trace of the DDIM-50 scan body these convert+reduce fusions and the f32
+    layout copies they force are ~40% of the step. ``fast_ln`` keeps the
+    reductions in bf16 (opt-in: it changes numerics; quality-validated via
+    the full five-metric eval, see NOTES.md)."""
+    return nn.LayerNorm(
+        dtype=dtype, force_float32_reductions=not fast_ln, name=name
+    )
+
+
 class StylizationBlock(nn.Module):
     """AdaLN gate: h ← out(SiLU(norm(h)·(1+scale)+shift)), zero-init output.
 
@@ -66,12 +80,13 @@ class StylizationBlock(nn.Module):
     latent_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fast_ln: bool = False
 
     def setup(self):
         # attribute names become the param-tree names — identical to the
         # previous nn.compact layout (emb/norm/out), so checkpoints swap.
         self.emb = nn.Dense(2 * self.latent_dim, dtype=self.dtype)
-        self.norm = nn.LayerNorm(dtype=self.dtype)
+        self.norm = make_layer_norm(self.dtype, self.fast_ln)
         self.out = nn.Dense(
             self.latent_dim, kernel_init=nn.initializers.zeros, dtype=self.dtype
         )

@@ -45,6 +45,7 @@ class InteractionModel(nn.Module):
     fused_blocks: bool = False
     causal: bool = False
     single_transformer: bool = False
+    fast_ln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -85,6 +86,7 @@ class InteractionModel(nn.Module):
             fused_blocks=self.fused_blocks,
             causal=self.causal,
             single_transformer=self.single_transformer,
+            fast_ln=self.fast_ln,
             dtype=self.dtype,
         )
 
@@ -252,5 +254,6 @@ def model_from_config(
         fused_blocks=getattr(cfg, "fused_blocks", False),
         causal=getattr(cfg, "causal", False),
         single_transformer=getattr(cfg, "single_transformer", False),
+        fast_ln=getattr(cfg, "fast_ln", False),
         dtype=dtype,
     )

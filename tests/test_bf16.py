@@ -118,6 +118,36 @@ class TestBf16Sampling:
         assert out.shape == (2, 2, T, cfg.dim_pose)
         assert np.isfinite(np.asarray(out, np.float32)).all()
 
+    def test_fast_ln_same_tree_and_bf16_scale_deviation(self):
+        """fast_ln keeps LayerNorm statistics in bf16 (flax promotes to f32
+        by default). Parameter tree must be identical (checkpoints swap) and
+        outputs must deviate only at bf16 rounding scale."""
+        from hig_tpu.models.denoiser import InteractionDenoiser
+
+        TINY = dict(input_feats=263, num_frames=32, latent_dim=32, ff_size=64,
+                    num_layers=2, num_heads=4, text_latent_dim=16)
+        B, T = 2, 12
+        x = jax.random.normal(jax.random.key(0), (B, 2, T, 263))
+        t = jnp.asarray([3, 7])
+        lengths = jnp.asarray([T, 8])
+        xf_proj = jax.random.normal(jax.random.key(1), (B, 2, 128))
+        xf_out = jax.random.normal(jax.random.key(2), (B, 2, 7, 16))
+        std = InteractionDenoiser(**TINY, dtype=jnp.bfloat16)
+        fast = InteractionDenoiser(**TINY, dtype=jnp.bfloat16, fast_ln=True)
+        params = std.init(jax.random.key(3), x, t, lengths, xf_proj, xf_out)
+        assert (jax.tree_util.tree_structure(
+                    fast.init(jax.random.key(3), x, t, lengths, xf_proj, xf_out))
+                == jax.tree_util.tree_structure(params))
+        leaves, tree = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.key(4), len(leaves))
+        params = jax.tree_util.tree_unflatten(
+            tree, [0.05 * jax.random.normal(k, l.shape, l.dtype)
+                   for k, l in zip(keys, leaves)])
+        a = np.asarray(std.apply(params, x, t, lengths, xf_proj, xf_out), np.float32)
+        b = np.asarray(fast.apply(params, x, t, lengths, xf_proj, xf_out), np.float32)
+        assert np.abs(a - b).max() < 0.05  # bf16 rounding, not divergence
+        assert np.isfinite(b).all()
+
     def test_cast_floating_only_touches_floats(self):
         from hig_tpu.train.trainer import cast_floating
 

@@ -98,6 +98,10 @@ def main():
                         help="generation length (default: max_motion_length)")
     parser.add_argument("--ddim_steps", type=int, default=None,
                         help="override the checkpoint's ddim_steps (quality-vs-steps sweeps)")
+    parser.add_argument("--fast_ln", action="store_true",
+                        help="bf16 LayerNorm statistics (config.py fast_ln) — "
+                             "override for evaluating an existing checkpoint "
+                             "with the fast-LN inference path")
     parser.add_argument("--mm_num_times", type=int, default=None,
                         help="MultiModality comparison count (default 15, ref "
                              "evaluation.py:279); lower it proportionally on "
@@ -121,6 +125,8 @@ def main():
         cfg.sampler = args.sampler
     if args.ddim_steps:
         cfg.ddim_steps = args.ddim_steps
+    if args.fast_ln:
+        cfg.fast_ln = True
     mean, std = load_stats(cfg, for_training=False)
     trainer, state, _, _ = restore_trainer_state(cfg, args.model_name)
 
