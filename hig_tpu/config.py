@@ -127,6 +127,12 @@ class ExperimentConfig:
     distributed: bool = False
     # FSDP: shard params + optimizer state on the mesh's model axis
     fsdp: bool = False
+    # Tensor parallelism: Megatron-style column/row weight sharding of the
+    # attention QKV and FFN matmuls on the mesh's model axis (the GSPMD
+    # partitioner inserts the collectives). Mutually exclusive with fsdp —
+    # both consume the model axis. At reference scale (d=512) TP is capacity
+    # headroom for larger variants, not a speedup; see parallel/mesh.py.
+    tp: bool = False
     # capture a jax.profiler trace of training steps into save_root/profile
     profile: bool = False
     # importance-sample timesteps by recent loss second moment

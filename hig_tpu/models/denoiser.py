@@ -229,6 +229,31 @@ class InteractionDenoiser(nn.Module):
         B = xf_out.shape[0]
         return xf_out.reshape((B, -1) + xf_out.shape[3:])
 
+    # The three pieces around the layer stack, exposed separately so the
+    # pipeline-parallel engine (parallel/pipeline.py) can run the stack
+    # itself: embed_inputs → [layers] → project_out, with conditioning()
+    # computed once. __call__ composes exactly these.
+
+    def embed_inputs(self, x: jax.Array, lengths: jax.Array):
+        """(B, 2, T, D_in) → (hidden (B, 2, T, D), src_mask (B, 1, T))."""
+        B, A, T, _ = x.shape
+        move = self.joint_embed(x[:, :, 1:]) + self.sequence_embedding[: T - 1].astype(
+            self.dtype
+        )
+        init = self.joint_embed2(x[:, :, 0, :4])
+        h = jnp.concatenate([init[:, :, None, :], move], axis=2)
+        return h, length_mask(lengths, T, self.dtype)[:, None, :]
+
+    def conditioning(self, timesteps: jax.Array, xf_proj: jax.Array) -> jax.Array:
+        """(B,) timesteps + (B, 2, E) pooled text → per-block emb (B, 2, E)."""
+        return self.time_embed(timesteps)[:, None, :] + xf_proj
+
+    def project_out(self, h: jax.Array) -> jax.Array:
+        """Hidden → ε prediction via the two zero-init output heads."""
+        return jnp.concatenate(
+            [self.out2(h[:, :, :1]), self.out(h[:, :, 1:])], axis=2
+        )
+
     def __call__(
         self,
         x: jax.Array,
@@ -243,11 +268,7 @@ class InteractionDenoiser(nn.Module):
         B, A, T, D_in = x.shape
         assert A == 2, "actor axis must be 2"
 
-        move = self.joint_embed(x[:, :, 1:]) + self.sequence_embedding[: T - 1].astype(
-            self.dtype
-        )
-        init = self.joint_embed2(x[:, :, 0, :4])
-        h = jnp.concatenate([init[:, :, None, :], move], axis=2)
+        h, src_mask = self.embed_inputs(x, lengths)  # mask: (B, 1, T)
 
         # ``adaln``: per-layer dicts of precomputed StylizationBlock
         # (scale, shift) pairs (adaln_scale_shift_grid in train/trainer.py) —
@@ -255,11 +276,9 @@ class InteractionDenoiser(nn.Module):
         # stack out of the loop; emb is then only needed by blocks that did
         # not receive a precomputed pair.
         if adaln is None:
-            emb = self.time_embed(timesteps)[:, None, :] + xf_proj
+            emb = self.conditioning(timesteps, xf_proj)
         else:
             emb = None
-
-        src_mask = length_mask(lengths, T, self.dtype)[:, None, :]  # (B, 1, T)
 
         if self.single_transformer:
             # one 2T-token timeline; per-sequence conditioning is the mean of
@@ -284,7 +303,7 @@ class InteractionDenoiser(nn.Module):
                     adaln=None if adaln is None else adaln[i],
                 )
 
-        return jnp.concatenate([self.out2(h[:, :, :1]), self.out(h[:, :, 1:])], axis=2)
+        return self.project_out(h)
 
 
 class SinglePersonDenoiserLayer(nn.Module):

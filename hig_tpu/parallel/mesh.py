@@ -123,6 +123,73 @@ def fsdp_specs(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: _leaf_spec(x, model_size), tree)
 
 
+# --------------------------------------------------------------------------
+# Tensor parallelism: Megatron-style weight sharding on the model axis
+# --------------------------------------------------------------------------
+#
+# The reference has no TP at all (SURVEY.md §2.6: "TP: absent") — the model
+# axis here is a capability the reference cannot express. Sharding is
+# declarative: the QKV projections and the FFN input matmul are
+# column-parallel (output features sharded, so the per-head attention
+# einsums that follow are head-local on each shard), the FFN output matmul
+# is row-parallel (contraction dim sharded; the partitioner turns the
+# partial sums into a psum over ICI). Everything that normalizes over the
+# full feature axis (LayerNorms, StylizationBlock gates, embeddings, output
+# heads, the frozen CLIP tower) stays replicated — GSPMD inserts the
+# gather at those boundaries. Adam's mu/nu mirror the param tree paths, so
+# the same name-based rule shards optimizer state consistently.
+
+_TP_COLUMN = ("query", "key", "value", "linear1")
+_TP_ROW = ("linear2",)
+
+
+def _path_names(path) -> list[str]:
+    return [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
+
+
+def _tp_leaf_spec(path, x, model_size: int) -> P:
+    shape = getattr(x, "shape", ())
+    names = _path_names(path)
+    if model_size <= 1 or len(shape) != 2 or len(names) < 2 or names[-1] != "kernel":
+        return P()
+    module = names[-2]
+    if module in _TP_COLUMN and shape[1] % model_size == 0 and shape[1] >= model_size:
+        return P(None, MODEL_AXIS)
+    if module in _TP_ROW and shape[0] % model_size == 0 and shape[0] >= model_size:
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def tp_state_shardings(tree, mesh: Mesh):
+    """NamedSharding pytree applying the Megatron column/row rule to every
+    2-D kernel named query/key/value/linear1 (column) or linear2 (row);
+    all other leaves replicate. Used both to place params/opt-state and as
+    the train step's with_sharding_constraint target."""
+    model_size = mesh.shape[MODEL_AXIS]
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, _tp_leaf_spec(p, x, model_size)), tree
+    )
+
+
+def shard_state_tp(state, mesh: Mesh):
+    """Place a TrainState-like pytree with tensor-parallel weight sharding."""
+    return jax.tree_util.tree_map(
+        host_to_global, state, tp_state_shardings(state, mesh)
+    )
+
+
+def sequence_sharding(mesh: Mesh) -> NamedSharding:
+    """Sequence parallelism: shard the time axis of (B, actors, T, D) motion
+    activations over the model axis.
+
+    The linear-attention formulation makes this natural on TPU: the
+    K-softmax normalizer and the KᵀV moment both reduce over time, so under
+    a T-sharded layout the partitioner lowers them to per-shard partial
+    reductions + one psum — no ring/Ulysses machinery needed. The reference
+    has no sequence strategy beyond fixed windows (SURVEY.md §5)."""
+    return NamedSharding(mesh, P(None, None, MODEL_AXIS, None))
+
+
 def host_to_global(x, sharding: NamedSharding):
     """Place a host array (identical on every process) with ``sharding``,
     without assuming all mesh devices are addressable."""

@@ -469,6 +469,10 @@ class Trainer:
         self.model = model_from_config(cfg, clip_config=clip_config)
         self.sched = g.make_schedule(g.named_betas("linear", cfg.diffusion_steps))
         self.pit = cfg.label_path is None and not getattr(cfg, "train_eval", False)
+        if getattr(cfg, "fsdp", False) and getattr(cfg, "tp", False):
+            raise ValueError(
+                "fsdp and tp both shard the mesh's model axis — enable one"
+            )
 
     def init_state(self, rng=None) -> TrainState:
         rng = rng if rng is not None else jax.random.key(self.cfg.seed)
@@ -491,13 +495,27 @@ class Trainer:
     def fsdp(self) -> bool:
         return getattr(self.cfg, "fsdp", False) and self.mesh.shape[pmesh.MODEL_AXIS] > 1
 
+    @property
+    def tp(self) -> bool:
+        return getattr(self.cfg, "tp", False) and self.mesh.shape[pmesh.MODEL_AXIS] > 1
+
+    def _state_shardings(self, state):
+        """The model-axis layout target (FSDP or TP), or None for pure DP."""
+        if self.fsdp:
+            return pmesh.state_shardings(state, self.mesh)
+        if self.tp:
+            return pmesh.tp_state_shardings(state, self.mesh)
+        return None
+
     def place_state(self, state: TrainState) -> TrainState:
-        """Place a (fresh or restored) state over the mesh: FSDP-sharded on
-        the model axis when enabled, replicated otherwise. Works in
-        multi-process runs (orbax restores commit arrays to device 0 of each
-        process, which clashes with mesh-wide computation)."""
+        """Place a (fresh or restored) state over the mesh: FSDP- or
+        TP-sharded on the model axis when enabled, replicated otherwise.
+        Works in multi-process runs (orbax restores commit arrays to device 0
+        of each process, which clashes with mesh-wide computation)."""
         if self.fsdp:
             return pmesh.shard_state(jax.device_get(state), self.mesh)
+        if self.tp:
+            return pmesh.shard_state_tp(jax.device_get(state), self.mesh)
         if jax.process_count() > 1:
             rep = pmesh.replicated(self.mesh)
             return jax.tree_util.tree_map(
@@ -566,7 +584,7 @@ class Trainer:
         primary = dist.is_primary()
         os.makedirs(cfg.model_dir, exist_ok=True)
         os.makedirs(cfg.meta_dir, exist_ok=True)
-        state_sh = pmesh.state_shardings(state, self.mesh) if self.fsdp else None
+        state_sh = self._state_shardings(state)
         loss_aware = getattr(cfg, "loss_aware_sampler", False)
         ts_state = None
         if loss_aware:

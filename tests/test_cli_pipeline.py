@@ -168,6 +168,29 @@ class TestCLIPipeline:
         assert data["joints"].shape == (2, 24, 22, 3)
         assert np.isfinite(data["joints"]).all()
 
+    def test_serve_tp(self, world, tmp_path):
+        """`serve.py --tp` serves with Megatron-sharded weights on a 4x2
+        mesh (numeric sampler parity is pinned in tests/test_parallel_tp.py;
+        this drives the CLI wiring: mesh override + TP placement)."""
+        reqs = [{"caption1": "A person is pushing the other person.",
+                 "caption2": "A person is pushed by the other person.",
+                 "length": 24, "id": "r0"}]
+        req_path = str(tmp_path / "reqs.jsonl")
+        with open(req_path, "w") as f:
+            for r in reqs:
+                f.write(json.dumps(r) + "\n")
+        out_dir = str(tmp_path / "serve_tp")
+        run_tool("serve", [
+            "--opt_path", os.path.join(world["ckpt"], "synthetic_mul", "interaction", "opt.txt"),
+            "--requests", req_path, "--out_dir", out_dir,
+            "--batch_size", "8", "--motion_length", "24", "--sampler", "ddim",
+            "--tp", "--mesh_model", "2",
+        ])
+        index = json.load(open(os.path.join(out_dir, "index.json")))
+        data = np.load(index[0]["path"])
+        assert data["joints"].shape == (2, 24, 22, 3)
+        assert np.isfinite(data["joints"]).all()
+
     def test_render_smpl_synthetic(self, world, tmp_path):
         joints = np.random.randn(2, 3, 22, 3).astype(np.float32) * 0.1
         npy = str(tmp_path / "motion.npy")

@@ -46,6 +46,11 @@ def main():
     parser.add_argument("--fit_smpl", action="store_true")
     parser.add_argument("--smpl_model", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tp", action="store_true",
+                        help="serve with tensor-parallel (Megatron-sharded) "
+                        "weights on the mesh's model axis")
+    parser.add_argument("--mesh_model", type=int, default=0,
+                        help="override the mesh's model-axis size (with --tp)")
     args = parser.parse_args()
 
     from hig_tpu.utils.cache import enable as enable_cache
@@ -55,6 +60,11 @@ def main():
     cfg = load_opt_txt(args.opt_path, is_train=False)
     if args.sampler:
         cfg.sampler = args.sampler
+    if args.mesh_model:
+        cfg.mesh.model = args.mesh_model
+        cfg.mesh.data = -1
+    if args.tp:
+        cfg.tp, cfg.fsdp = True, False
     mean, std = load_stats(cfg, for_training=False)
     trainer, state, _, _ = restore_trainer_state(cfg, args.which_epoch)
 
@@ -79,7 +89,9 @@ def main():
     mesh = trainer.mesh
     use_mesh = mesh.devices.size > 1
     params = state.params
-    if use_mesh:
+    if use_mesh and not trainer.tp:
+        # --tp leaves the Megatron-sharded placement from place_state in
+        # effect (sampler output parity pinned by tests/test_parallel_tp.py)
         params = jax.device_put(params, pmesh.replicated(mesh))
 
     os.makedirs(args.out_dir, exist_ok=True)
