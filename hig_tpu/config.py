@@ -133,6 +133,14 @@ class ExperimentConfig:
     # both consume the model axis. At reference scale (d=512) TP is capacity
     # headroom for larger variants, not a speedup; see parallel/mesh.py.
     tp: bool = False
+    # Pipeline parallelism: >0 enables the GPipe schedule over the mesh's
+    # model axis with this many microbatches (parallel/pipeline.py). The
+    # layer stack is stage-sharded; the schedule is exact vs the sequential
+    # stack and differentiable, so training under PP reproduces DP
+    # loss/grads (tests/test_parallel_pp.py). Consumes the model axis —
+    # mutually exclusive with fsdp/tp. Like TP, capacity headroom for
+    # deeper variants; the reference has no PP (SURVEY.md §2.6).
+    pp_micro: int = 0
     # capture a jax.profiler trace of training steps into save_root/profile
     profile: bool = False
     # importance-sample timesteps by recent loss second moment

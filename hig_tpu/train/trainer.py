@@ -130,6 +130,8 @@ def make_loss_fn(
     sched: g.DiffusionSchedule,
     pit: bool,
     loss_aware: bool = False,
+    pp_mesh=None,
+    pp_micro: int = 0,
 ) -> Callable:
     """loss_fn(params, batch, rng[, ts_state]) -> (scalar, aux); shared by the
     train step and the --eval_every_e validation pass.
@@ -165,6 +167,17 @@ def make_loss_fn(
         mask = (jnp.arange(T) < lengths[:, None]).astype(motion.dtype)
 
         def denoise(x, tt, xf_proj, xf_out):
+            if pp_mesh is not None:
+                # --pp_micro: run the layer stack under the GPipe schedule
+                # (parallel/pipeline.py) — exact vs the sequential stack,
+                # and differentiable (ppermute/scan have transpose rules),
+                # so the PP train step reproduces the DP loss/grads
+                from hig_tpu.parallel.pipeline import pipeline_denoise
+
+                return pipeline_denoise(
+                    model, params, x, tt, lengths_rep, xf_proj, xf_out,
+                    pp_mesh, n_micro=pp_micro,
+                )
             return model.apply(
                 params, x, tt, lengths_rep, xf_proj, xf_out, True,
                 method=InteractionModel.denoise,
@@ -233,6 +246,8 @@ def make_train_step(
     pit: bool,
     state_shardings=None,
     loss_aware: bool = False,
+    pp_mesh=None,
+    pp_micro: int = 0,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics), jittable;
     with ``loss_aware``: train_step(state, batch, rng, ts_state) ->
@@ -243,7 +258,10 @@ def make_train_step(
     layout so parameters stay model-axis-sharded across steps instead of
     drifting to whatever the partitioner picks."""
 
-    loss_fn = make_loss_fn(model, sched, pit, loss_aware=loss_aware)
+    loss_fn = make_loss_fn(
+        model, sched, pit, loss_aware=loss_aware,
+        pp_mesh=pp_mesh, pp_micro=pp_micro,
+    )
 
     def _update(state, batch, rng, ts_state):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -473,6 +491,17 @@ class Trainer:
             raise ValueError(
                 "fsdp and tp both shard the mesh's model axis — enable one"
             )
+        if getattr(cfg, "pp_micro", 0) > 0:
+            if getattr(cfg, "fsdp", False) or getattr(cfg, "tp", False):
+                raise ValueError(
+                    "pp_micro stages the layer stack over the mesh's model "
+                    "axis — mutually exclusive with fsdp/tp"
+                )
+            if cfg.single_transformer or getattr(cfg, "no_eff", False):
+                raise ValueError(
+                    "pp_micro requires the efficient interaction stack "
+                    "(no --single_transformer / --no_eff)"
+                )
 
     def init_state(self, rng=None) -> TrainState:
         rng = rng if rng is not None else jax.random.key(self.cfg.seed)
@@ -498,6 +527,13 @@ class Trainer:
     @property
     def tp(self) -> bool:
         return getattr(self.cfg, "tp", False) and self.mesh.shape[pmesh.MODEL_AXIS] > 1
+
+    @property
+    def pp(self) -> bool:
+        return (
+            getattr(self.cfg, "pp_micro", 0) > 0
+            and self.mesh.shape[pmesh.MODEL_AXIS] > 1
+        )
 
     def _state_shardings(self, state):
         """The model-axis layout target (FSDP or TP), or None for pure DP."""
@@ -598,6 +634,8 @@ class Trainer:
             make_train_step(
                 self.model, self.sched, self.tx, pit=self.pit,
                 state_shardings=state_sh, loss_aware=loss_aware,
+                pp_mesh=self.mesh if self.pp else None,
+                pp_micro=getattr(cfg, "pp_micro", 0),
             ),
             donate_argnums=(0, 3) if loss_aware else (0,),
         )

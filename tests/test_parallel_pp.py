@@ -90,3 +90,59 @@ class TestPipelineParallel:
         with pytest.raises(ValueError, match="microbatch"):
             pp.pipeline_denoise(model, params, x, t, lengths, xf_proj,
                                 xf_out, trainer.mesh, n_micro=3)
+
+
+class TestPipelineTraining:
+    """--pp_micro: the PIT train step under the GPipe schedule reproduces
+    the plain (DP) step — same loss, same updated parameters — because the
+    schedule is exact and ppermute/scan are differentiable."""
+
+    def test_train_step_matches_dp(self, setup, tmp_path):
+        from hig_tpu.train.trainer import Trainer, make_train_step
+
+        trainer_dp, model, params, _, _ = setup
+        cfg_pp = tiny_cfg(str(tmp_path), cap_id=True,
+                          mesh=MeshConfig(data=4, model=2))
+        cfg_pp.num_layers = 4
+        cfg_pp.pp_micro = 2
+        trainer_pp = Trainer(cfg_pp, clip_config=TINY_CLIP)
+        assert trainer_pp.pp and trainer_pp.pit
+
+        state = trainer_dp.init_state()
+        B, T, D = 8, cfg_pp.window_size + 1, cfg_pp.dim_pose
+        rng = np.random.RandomState(1)
+        batch = {
+            "motion": jnp.asarray(rng.randn(B, 2, T, D), jnp.float32),
+            "lengths": jnp.asarray([T, T - 3, 9, T, T, 12, T - 1, T],
+                                   jnp.int32),
+            "cap_ids": jnp.asarray(rng.randint(0, 43, (B, 2)), jnp.int32),
+        }
+        step_rng = jax.random.key(7)
+
+        step_dp = jax.jit(make_train_step(
+            trainer_dp.model, trainer_dp.sched, trainer_dp.tx, pit=True))
+        step_pp = jax.jit(make_train_step(
+            trainer_pp.model, trainer_pp.sched, trainer_dp.tx, pit=True,
+            pp_mesh=trainer_pp.mesh, pp_micro=2))
+
+        s_dp, m_dp = step_dp(state, batch, step_rng)
+        s_pp, m_pp = step_pp(trainer_pp.place_state(state), batch, step_rng)
+        np.testing.assert_allclose(float(m_pp["loss_mot_rec"]),
+                                   float(m_dp["loss_mot_rec"]), rtol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            s_pp.params, s_dp.params,
+        )
+
+    def test_pp_excludes_fsdp_tp(self, setup, tmp_path):
+        cfg = tiny_cfg(str(tmp_path / "x"), cap_id=True,
+                       mesh=MeshConfig(data=4, model=2))
+        cfg.pp_micro = 2
+        cfg.fsdp = True
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            Trainer(cfg, clip_config=TINY_CLIP)
+        cfg.fsdp = False
+        cfg.single_transformer = True
+        with pytest.raises(ValueError, match="efficient"):
+            Trainer(cfg, clip_config=TINY_CLIP)
