@@ -146,6 +146,11 @@ class ExperimentConfig:
     # importance-sample timesteps by recent loss second moment
     # (ref: LossSecondMomentResampler, gaussian_diffusion.py:123 — dormant there)
     loss_aware_sampler: bool = False
+    # split each batch into N microbatches, accumulate grads under lax.scan,
+    # apply one averaged update — large effective batches (the reference's
+    # B=160/GPU, codes/README.md:71-79) at one microbatch's activation
+    # memory. batch_size must divide evenly.
+    grad_accum: int = 1
 
     # dataset-derived (filled by add_dataset_paths; ref get_opt.py:63-94)
     joints_num: int = 22

@@ -248,6 +248,7 @@ def make_train_step(
     loss_aware: bool = False,
     pp_mesh=None,
     pp_micro: int = 0,
+    grad_accum: int = 1,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics), jittable;
     with ``loss_aware``: train_step(state, batch, rng, ts_state) ->
@@ -256,17 +257,51 @@ def make_train_step(
     ``state_shardings`` (a NamedSharding pytree from
     ``parallel.mesh.state_shardings``) pins the updated state to the FSDP
     layout so parameters stay model-axis-sharded across steps instead of
-    drifting to whatever the partitioner picks."""
+    drifting to whatever the partitioner picks.
+
+    ``grad_accum`` > 1 (--grad_accum) splits the batch into that many
+    microbatches, accumulates their grads under a ``lax.scan`` (activation
+    memory of ONE microbatch), and applies one averaged Adam update — the
+    reference's B=160-per-GPU configs (codes/README.md:71-79) fit a single
+    chip this way. The update equals the mean of the microbatch grads;
+    each microbatch draws its own timesteps/noise from a folded rng."""
 
     loss_fn = make_loss_fn(
         model, sched, pit, loss_aware=loss_aware,
         pp_mesh=pp_mesh, pp_micro=pp_micro,
     )
 
-    def _update(state, batch, rng, ts_state):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng, ts_state
+    def _grads(params, batch, rng, ts_state):
+        if grad_accum <= 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng, ts_state
+            )
+        k = grad_accum
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]), batch
         )
+        rngs = jax.random.split(rng, k)
+
+        def acc(carry, xs):
+            loss_sum, g_sum = carry
+            mb, rng_i = xs
+            (loss_i, aux_i), g_i = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb, rng_i, ts_state
+            )
+            g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g_i)
+            return (loss_sum + loss_i, g_sum), aux_i
+
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (loss_sum, g_sum), auxs = jax.lax.scan(acc, (0.0, g0), (micro, rngs))
+        grads = jax.tree_util.tree_map(lambda x: x / k, g_sum)
+        # (k, B/k) microbatch draws → flat (B,) for the loss-aware history
+        aux = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), auxs
+        )
+        return (loss_sum / k, aux), grads
+
+    def _update(state, batch, rng, ts_state):
+        (loss, aux), grads = _grads(state.params, batch, rng, ts_state)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
@@ -502,6 +537,12 @@ class Trainer:
                     "pp_micro requires the efficient interaction stack "
                     "(no --single_transformer / --no_eff)"
                 )
+        accum = getattr(cfg, "grad_accum", 1)
+        if accum > 1 and cfg.batch_size % accum:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible into "
+                f"{accum} grad-accumulation microbatches"
+            )
 
     def init_state(self, rng=None) -> TrainState:
         rng = rng if rng is not None else jax.random.key(self.cfg.seed)
@@ -636,6 +677,7 @@ class Trainer:
                 state_shardings=state_sh, loss_aware=loss_aware,
                 pp_mesh=self.mesh if self.pp else None,
                 pp_micro=getattr(cfg, "pp_micro", 0),
+                grad_accum=getattr(cfg, "grad_accum", 1),
             ),
             donate_argnums=(0, 3) if loss_aware else (0,),
         )
