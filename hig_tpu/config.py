@@ -146,6 +146,11 @@ class ExperimentConfig:
     # importance-sample timesteps by recent loss second moment
     # (ref: LossSecondMomentResampler, gaussian_diffusion.py:123 — dormant there)
     loss_aware_sampler: bool = False
+    # exponential-moving-average of the parameters, updated every step and
+    # preferred by the inference tools (evaluation/serve/visualization) when
+    # present. 0 disables (reference behavior: no EMA, SURVEY.md §6);
+    # typical 0.9999.
+    ema_decay: float = 0.0
     # split each batch into N microbatches, accumulate grads under lax.scan,
     # apply one averaged update — large effective batches (the reference's
     # B=160/GPU, codes/README.md:71-79) at one microbatch's activation

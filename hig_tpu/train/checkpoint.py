@@ -26,6 +26,8 @@ def save_state(path: str, state, epoch: int, total_it: int) -> None:
         "epoch": np.asarray(epoch),
         "total_it": np.asarray(total_it),
     }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = state.ema_params
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
@@ -45,12 +47,29 @@ def restore_state(path: str, abstract_state) -> tuple[Any, int, int]:
         "epoch": np.asarray(0),
         "total_it": np.asarray(0),
     }
+    # EMA is stored only when the run had --ema_decay on — the checkpoint's
+    # own metadata decides. A run resuming WITH EMA from a pre-EMA
+    # checkpoint seeds it from params.
     ckptr = ocp.StandardCheckpointer()
+    try:
+        has_ema = "ema_params" in ckptr.metadata(path).item_metadata.tree
+    except Exception:
+        has_ema = False
+    want_ema = getattr(abstract_state, "ema_params", None) is not None
+    if has_ema:
+        target["ema_params"] = (
+            abstract_state.ema_params if want_ema else abstract_state.params
+        )
     restored = ckptr.restore(path, target)
+    ema = restored.get("ema_params")
+    if want_ema and ema is None:
+        # seed from params as a copy — aliased buffers break step donation
+        ema = jax.tree_util.tree_map(jax.numpy.copy, restored["params"])
     state = type(abstract_state)(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=jax.numpy.asarray(restored["step"]),
+        ema_params=ema if want_ema or has_ema else None,
     )
     return state, int(restored["epoch"]), int(restored["total_it"])
 

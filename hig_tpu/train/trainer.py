@@ -43,6 +43,10 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jax.Array
+    # exponential moving average of params (--ema_decay > 0); None when off.
+    # The reference trains without EMA (SURVEY.md §6) — a standard diffusion
+    # quality lever added here; inference tools prefer it when present.
+    ema_params: Any = None
 
 
 def param_labels(params, freeze_clip: bool = True) -> Any:
@@ -249,6 +253,7 @@ def make_train_step(
     pp_mesh=None,
     pp_micro: int = 0,
     grad_accum: int = 1,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics), jittable;
     with ``loss_aware``: train_step(state, batch, rng, ts_state) ->
@@ -304,7 +309,15 @@ def make_train_step(
         (loss, aux), grads = _grads(state.params, batch, rng, ts_state)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        ema = state.ema_params
+        if ema_decay > 0.0 and ema is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + (1.0 - ema_decay) * p
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                ema, params,
+            )
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, ema_params=ema)
         if state_shardings is not None:
             new_state = jax.lax.with_sharding_constraint(new_state, state_shardings)
         gnorm = optax.global_norm(grads)
@@ -330,6 +343,13 @@ def make_train_step(
 # --------------------------------------------------------------------------
 # sampling (ref: generate/generate_batch, mul_ddpm_trainer.py:164-221)
 # --------------------------------------------------------------------------
+
+
+def eval_params(state):
+    """Parameters to sample/evaluate with: the EMA average when the run
+    trained with --ema_decay, else the raw parameters."""
+    ema = getattr(state, "ema_params", None)
+    return ema if ema is not None else state.params
 
 
 def cast_floating(tree, dtype):
@@ -556,8 +576,15 @@ class Trainer:
             cond = jnp.zeros((1, 2, 77), jnp.int32)
         params = jax.jit(self.model.init)(rng, x, t, lengths, cond)
         self.tx = make_optimizer(self.cfg, params)
+        # EMA starts as a COPY of params: the train step donates the state,
+        # and aliased buffers would be donated twice
+        ema0 = (
+            jax.tree_util.tree_map(jnp.copy, params)
+            if getattr(self.cfg, "ema_decay", 0.0) > 0 else None
+        )
         state = TrainState(
-            params=params, opt_state=self.tx.init(params), step=jnp.zeros((), jnp.int32)
+            params=params, opt_state=self.tx.init(params), step=jnp.zeros((), jnp.int32),
+            ema_params=ema0,
         )
         return self.place_state(state)
 
@@ -678,6 +705,7 @@ class Trainer:
                 pp_mesh=self.mesh if self.pp else None,
                 pp_micro=getattr(cfg, "pp_micro", 0),
                 grad_accum=getattr(cfg, "grad_accum", 1),
+                ema_decay=getattr(cfg, "ema_decay", 0.0),
             ),
             donate_argnums=(0, 3) if loss_aware else (0,),
         )

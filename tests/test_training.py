@@ -526,3 +526,92 @@ class TestGradAccum:
         cfg.grad_accum = 3  # batch_size 8
         with pytest.raises(ValueError, match="grad-accumulation"):
             Trainer(cfg, clip_config=TINY_CLIP)
+
+
+class TestEMA:
+    """--ema_decay: EMA of params tracked in the train step, checkpointed,
+    and preferred by the inference tools (the reference has no EMA —
+    SURVEY.md §6 'no schedule/EMA/AMP')."""
+
+    def test_ema_follows_exact_recursion(self, synth_root):
+        from hig_tpu.train.trainer import Trainer, eval_params, make_train_step
+
+        cfg = tiny_cfg(os.path.dirname(synth_root) + "/ema", cap_id=True)
+        cfg.ema_decay = 0.5  # large (1-d) so drift is visible in 2 steps
+        trainer = Trainer(cfg, clip_config=TINY_CLIP)
+        state = trainer.init_state()
+        assert state.ema_params is not None
+
+        B, T, D = cfg.batch_size, cfg.window_size + 1, cfg.dim_pose
+        rng = np.random.RandomState(5)
+        batch = {
+            "motion": jnp.asarray(rng.randn(B, 2, T, D), jnp.float32),
+            "lengths": jnp.full((B,), T, jnp.int32),
+            "cap_ids": jnp.asarray(rng.randint(0, 43, (B, 2)), jnp.int32),
+        }
+        step = jax.jit(make_train_step(
+            trainer.model, trainer.sched, trainer.tx, pit=True, ema_decay=0.5))
+        p0 = state.params
+        s1, _ = step(state, batch, jax.random.key(0))
+        s2, _ = step(s1, batch, jax.random.key(1))
+
+        # ema_2 = d^2 * p0 + d(1-d) p1 + (1-d) p2, with ema_0 = p0
+        def rec(a0, a1, a2):
+            return 0.25 * a0 + 0.25 * a1 + 0.5 * a2
+
+        expect = jax.tree_util.tree_map(
+            lambda a0, a1, a2: rec(a0, a1, a2)
+            if jnp.issubdtype(a2.dtype, jnp.floating) else a2,
+            p0, s1.params, s2.params,
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+            s2.ema_params, expect,
+        )
+        # trained params moved away from the lagging EMA; eval prefers EMA
+        moved = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            s2.params["params"]["denoiser"], s2.ema_params["params"]["denoiser"],
+        ))
+        assert max(moved) > 0
+        assert eval_params(s2) is s2.ema_params
+        no_ema = type(state)(state.params, state.opt_state, state.step)
+        assert eval_params(no_ema) is no_ema.params
+
+    def test_checkpoint_roundtrip_and_pre_ema_resume(self, synth_root, tmp_path):
+        from hig_tpu.train import checkpoint as ckpt
+        from hig_tpu.train.trainer import Trainer
+
+        # run WITH ema: save → restore preserves the EMA tree
+        cfg = tiny_cfg(str(tmp_path / "a"), cap_id=True)
+        cfg.ema_decay = 0.999
+        tr = Trainer(cfg, clip_config=TINY_CLIP)
+        st = tr.init_state()
+        mutated = jax.tree_util.tree_map(lambda x: x + 1.0
+                                         if jnp.issubdtype(x.dtype, jnp.floating)
+                                         else x, st.ema_params)
+        st = type(st)(st.params, st.opt_state, st.step, mutated)
+        path = str(tmp_path / "ck_ema")
+        ckpt.save_state(path, st, epoch=3, total_it=7)
+        restored, ep, it = ckpt.restore_state(path, tr.init_state())
+        assert (ep, it) == (3, 7)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            restored.ema_params, mutated,
+        )
+
+        # pre-EMA checkpoint (no ema on disk) restored by an EMA run:
+        # the EMA seeds from the restored params instead of failing
+        cfg2 = tiny_cfg(str(tmp_path / "b"), cap_id=True)  # no ema
+        tr2 = Trainer(cfg2, clip_config=TINY_CLIP)
+        st2 = tr2.init_state()
+        assert st2.ema_params is None
+        path2 = str(tmp_path / "ck_plain")
+        ckpt.save_state(path2, st2, epoch=1, total_it=2)
+        restored2, _, _ = ckpt.restore_state(path2, tr.init_state())
+        assert restored2.ema_params is not None
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            restored2.ema_params, restored2.params,
+        )

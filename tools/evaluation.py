@@ -25,7 +25,7 @@ from hig_tpu.eval.evaluator import (
 from hig_tpu.models.eval_models import MotionConsistencyEvalModel, MotionEncoder
 from hig_tpu.models.tokenizer import tokenize
 from hig_tpu.train import checkpoint as ckpt
-from hig_tpu.train.trainer import make_sampler
+from hig_tpu.train.trainer import eval_params, make_sampler
 
 
 def load_eval_models(cfg, eval_dir, cons_dir):
@@ -208,7 +208,7 @@ def main():
                 if args.mm_num_repeats is not None:
                     gen_kwargs["mm_num_repeats"] = args.mm_num_repeats
                 gen = generate_test_set(
-                    sample_fn, state.params, rep_samples, tokens_of, T_gen, sub,
+                    sample_fn, eval_params(state), rep_samples, tokens_of, T_gen, sub,
                     batch_size=args.gen_batch, **gen_kwargs,
                 )
                 if args.cache_generations or args.use_cache:

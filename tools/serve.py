@@ -29,7 +29,7 @@ from _common import load_stats, restore_trainer_state  # noqa: E402
 from hig_tpu.config import load_opt_txt
 from hig_tpu.models.tokenizer import tokenize
 from hig_tpu.parallel import mesh as pmesh
-from hig_tpu.train.trainer import make_sampler
+from hig_tpu.train.trainer import eval_params, make_sampler
 from hig_tpu.utils.motion_codec import recover_from_ric2
 
 
@@ -88,7 +88,7 @@ def main():
     )
     mesh = trainer.mesh
     use_mesh = mesh.devices.size > 1
-    params = state.params
+    params = eval_params(state)
     if use_mesh and not trainer.tp:
         # --tp leaves the Megatron-sharded placement from place_state in
         # effect (sampler output parity pinned by tests/test_parallel_tp.py)

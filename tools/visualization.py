@@ -137,7 +137,8 @@ def run_single(args):
         abstract = TrainState(params=init, opt_state=tx.init(init),
                               step=jnp.zeros((), np.int32))
         state, _, _ = ckpt.restore_state(pjoin(cfg.model_dir, args.which_epoch), abstract)
-        restored = state.params
+        from hig_tpu.train.trainer import eval_params
+        restored = eval_params(state)
     except Exception:
         restored = ckpt.restore_params(pjoin(cfg.model_dir, args.which_epoch), init)
     sched = g.make_schedule(g.named_betas("linear", cfg.diffusion_steps))
