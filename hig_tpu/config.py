@@ -146,6 +146,12 @@ class ExperimentConfig:
     # importance-sample timesteps by recent loss second moment
     # (ref: LossSecondMomentResampler, gaussian_diffusion.py:123 — dormant there)
     loss_aware_sampler: bool = False
+    # learning-rate schedule: "constant" (reference behavior) or "cosine"
+    # (linear warmup over warmup_steps, cosine decay over lr_decay_steps).
+    # warmup_steps also applies to "constant".
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    lr_decay_steps: int = 0
     # exponential-moving-average of the parameters, updated every step and
     # preferred by the inference tools (evaluation/serve/visualization) when
     # present. 0 disables (reference behavior: no EMA, SURVEY.md §6);

@@ -67,13 +67,38 @@ def param_labels(params, freeze_clip: bool = True) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def lr_schedule(cfg: ExperimentConfig):
+    """Learning-rate schedule from config — constant (reference behavior:
+    'no schedule', SURVEY.md par.6), optionally with linear warmup, or
+    warmup+cosine decay (--lr_schedule cosine, needs --lr_decay_steps)."""
+    kind = getattr(cfg, "lr_schedule", "constant")
+    warmup = getattr(cfg, "warmup_steps", 0)
+    if kind == "cosine":
+        decay = getattr(cfg, "lr_decay_steps", 0)
+        if decay <= 0:
+            raise ValueError("--lr_schedule cosine requires --lr_decay_steps > 0")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.lr,
+            warmup_steps=warmup, decay_steps=decay,
+        )
+    if kind != "constant":
+        raise ValueError(f"unknown lr_schedule {kind!r}")
+    if warmup > 0:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.lr, warmup),
+             optax.constant_schedule(cfg.lr)],
+            [warmup],
+        )
+    return cfg.lr
+
+
 def make_optimizer(cfg: ExperimentConfig, params) -> optax.GradientTransformation:
     """Adam + global-norm clip (ref: lr 2e-4, clip 0.5 —
     train_options.py:17, mul_ddpm_trainer.py:81-84), CLIP tower frozen
     unless --no_clip (then the randomly-initialized tower trains too)."""
     train_tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adam(cfg.lr),
+        optax.adam(lr_schedule(cfg)),
     )
     return optax.multi_transform(
         {"train": train_tx, "freeze": optax.set_to_zero()},

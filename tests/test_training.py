@@ -615,3 +615,64 @@ class TestEMA:
             lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
             restored2.ema_params, restored2.params,
         )
+
+
+class TestLRSchedule:
+    """--lr_schedule / --warmup_steps: optional schedules (the reference
+    trains at constant lr with no schedule — SURVEY.md par.6)."""
+
+    def test_cosine_schedule_shape(self, synth_root):
+        from hig_tpu.train.trainer import lr_schedule
+
+        cfg = tiny_cfg(os.path.dirname(synth_root) + "/lr", cap_id=True)
+        cfg.lr_schedule = "cosine"
+        cfg.warmup_steps = 10
+        cfg.lr_decay_steps = 100
+        f = lr_schedule(cfg)
+        assert float(f(0)) == 0.0
+        np.testing.assert_allclose(float(f(10)), cfg.lr, rtol=1e-6)
+        assert float(f(55)) < cfg.lr
+        assert float(f(100)) < float(f(55))
+
+    def test_warmup_constant(self, synth_root):
+        from hig_tpu.train.trainer import lr_schedule
+
+        cfg = tiny_cfg(os.path.dirname(synth_root) + "/lr2", cap_id=True)
+        cfg.warmup_steps = 4
+        f = lr_schedule(cfg)
+        assert float(f(0)) == 0.0
+        np.testing.assert_allclose(float(f(4)), cfg.lr, rtol=1e-6)
+        np.testing.assert_allclose(float(f(1000)), cfg.lr, rtol=1e-6)
+        # default stays the reference's constant lr (a bare float)
+        cfg.warmup_steps = 0
+        assert lr_schedule(cfg) == cfg.lr
+
+    def test_cosine_requires_decay_steps(self, synth_root):
+        from hig_tpu.train.trainer import lr_schedule
+
+        cfg = tiny_cfg(os.path.dirname(synth_root) + "/lr3", cap_id=True)
+        cfg.lr_schedule = "cosine"
+        with pytest.raises(ValueError, match="lr_decay_steps"):
+            lr_schedule(cfg)
+
+    def test_warmup_scales_first_update(self, synth_root):
+        """An optimizer built with warmup applies a (near-)zero first update
+        and a full-size later update."""
+        import optax
+
+        from hig_tpu.train.trainer import make_optimizer
+
+        cfg = tiny_cfg(os.path.dirname(synth_root) + "/lr4", cap_id=True)
+        cfg.warmup_steps = 100
+        params = {"params": {"denoiser": {"w": jnp.ones((4,))},
+                             "text": {"clip": {"w": jnp.ones((4,))}}}}
+        tx = make_optimizer(cfg, params)
+        st = tx.init(params)
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        up0, st = tx.update(g, st, params)
+        assert float(jnp.max(jnp.abs(up0["params"]["denoiser"]["w"]))) == 0.0
+        for _ in range(100):
+            up, st = tx.update(g, st, params)
+        assert float(jnp.max(jnp.abs(up["params"]["denoiser"]["w"]))) > 0.5 * cfg.lr
+        # frozen tower stays frozen under any schedule
+        assert float(jnp.max(jnp.abs(up["params"]["text"]["clip"]["w"]))) == 0.0
