@@ -40,7 +40,11 @@ from hig_tpu.parallel import mesh as pmesh
 from hig_tpu.train.trainer import Trainer, make_train_step
 
 
-def run_case(fsdp: bool, dcn: int = 1) -> dict:
+def run_case(mode: str, dcn: int = 1) -> dict:
+    """mode: dp | fsdp | tp | pp — all share the same model/init seed and
+    global batch, so their globally-reduced losses must agree."""
+    fsdp = mode == "fsdp"
+    model2 = mode in ("fsdp", "tp", "pp")
     n_global = nprocs * 2
     cfg = add_dataset_paths(
         ExperimentConfig(
@@ -49,9 +53,10 @@ def run_case(fsdp: bool, dcn: int = 1) -> dict:
             num_text_layers=1, text_latent_dim=16, text_ff_size=32,
             text_num_heads=2, diffusion_steps=50,
             batch_size=n_global * 2, window_size=8,
-            mesh=MeshConfig(data=n_global // (2 if fsdp else 1),
-                            model=2 if fsdp else 1, dcn_data=dcn),
-            fsdp=fsdp,
+            mesh=MeshConfig(data=n_global // (2 if model2 else 1),
+                            model=2 if model2 else 1, dcn_data=dcn),
+            fsdp=fsdp, tp=mode == "tp",
+            pp_micro=2 if mode == "pp" else 0,
         )
     )
     trainer = Trainer(cfg, clip_config=ClipTextConfig(width=16, heads=2, layers=1))
@@ -71,10 +76,12 @@ def run_case(fsdp: bool, dcn: int = 1) -> dict:
     local_bs = B // nprocs
     local = {k: v[proc_id * local_bs : (proc_id + 1) * local_bs] for k, v in global_batch.items()}
 
-    state_sh = pmesh.state_shardings(state, trainer.mesh) if fsdp else None
+    state_sh = trainer._state_shardings(state)
     step = jax.jit(
         make_train_step(trainer.model, trainer.sched, trainer.tx, pit=True,
-                        state_shardings=state_sh),
+                        state_shardings=state_sh,
+                        pp_mesh=trainer.mesh if mode == "pp" else None,
+                        pp_micro=2 if mode == "pp" else 0),
     )
     dev_batch = pmesh.shard_batch(trainer.mesh, local)
     assert dev_batch["motion"].shape[0] == B, "global batch axis must be reassembled"
@@ -82,7 +89,7 @@ def run_case(fsdp: bool, dcn: int = 1) -> dict:
     loss = float(metrics["loss_mot_rec"])
 
     ckpt_roundtrip = False
-    if not fsdp:
+    if mode == "dp" and dcn == 1:
         # multi-host checkpointing: every process calls save/restore on the
         # same path; orbax coordinates via the jax.distributed service
         import jax.numpy as jnp
@@ -103,7 +110,7 @@ def run_case(fsdp: bool, dcn: int = 1) -> dict:
         )
 
     model_sharded_leaves = 0
-    if fsdp:
+    if mode in ("fsdp", "tp"):
         for leaf in jax.tree_util.tree_leaves(new_state.params):
             spec = getattr(leaf.sharding, "spec", None)
             if spec and pmesh.MODEL_AXIS in [s for s in spec if s]:
@@ -118,11 +125,16 @@ def run_case(fsdp: bool, dcn: int = 1) -> dict:
 
 
 out = {
-    "dp": run_case(fsdp=False),
-    "fsdp": run_case(fsdp=True),
+    "dp": run_case("dp"),
+    "fsdp": run_case("fsdp"),
+    # tensor- and pipeline-parallel train steps across OS processes: the
+    # model axis spans BOTH processes, so TP's psums and PP's ppermute hops
+    # ride the (simulated) cross-host fabric
+    "tp": run_case("tp"),
+    "pp": run_case("pp"),
     # DCN-aware hybrid mesh: processes act as the DCN granules
     # (multi-slice pods use device.slice_index instead)
-    "hybrid_dcn": run_case(fsdp=False, dcn=nprocs),
+    "hybrid_dcn": run_case("dp", dcn=nprocs),
 }
 with open(os.path.join(outdir, f"proc{proc_id}.json"), "w") as f:
     json.dump(out, f)

@@ -40,7 +40,7 @@ def test_two_process_dp_and_fsdp(tmp_path):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 
@@ -49,15 +49,24 @@ def test_two_process_dp_and_fsdp(tmp_path):
         with open(tmp_path / f"proc{i}.json") as f:
             results.append(json.load(f))
 
-    for case in ("dp", "fsdp", "hybrid_dcn"):
+    for case in ("dp", "fsdp", "tp", "pp", "hybrid_dcn"):
         r0, r1 = results[0][case], results[1][case]
         assert r0["global_devices"] == 4
         # the loss is a global reduction — bitwise identical on every process
         assert np.isfinite(r0["loss"])
         assert r0["loss"] == r1["loss"], (case, r0["loss"], r1["loss"])
         assert r0["global_batch"] == 8  # local 4-row slices reassembled globally
-    # FSDP actually sharded parameters on the model axis
+    # FSDP and TP actually sharded parameters on the model axis
     assert results[0]["fsdp"]["model_sharded_leaves"] > 0
+    assert results[0]["tp"]["model_sharded_leaves"] > 0
+    # same init/batch in every mode: DP, FSDP, TP (Megatron sharding), PP
+    # (GPipe schedule with cross-process ppermute hops), and the hybrid-DCN
+    # mesh must all produce the same loss
+    dp = results[0]["dp"]["loss"]
+    for case in ("fsdp", "tp", "pp", "hybrid_dcn"):
+        np.testing.assert_allclose(
+            results[0][case]["loss"], dp, rtol=1e-5, err_msg=case
+        )
     # the hybrid (DCN-granule) mesh produced the same loss as the flat mesh
     assert results[0]["hybrid_dcn"]["loss"] == results[0]["dp"]["loss"]
     # multi-host orbax checkpoint save/restore round-trips on both ranks
