@@ -109,6 +109,33 @@ class TestCLIPipeline:
             assert metric in summary
             assert np.isfinite(summary[metric]["text2motion"][0])
 
+    def test_distillation_stage_and_eval(self, world, monkeypatch):
+        """tools/distill.py: one progressive-distillation stage (DDIM-10 on
+        the 40-step tiny teacher) writes a standalone experiment dir that the
+        standard evaluation harness consumes as-is."""
+        monkeypatch.chdir(os.path.dirname(world["ckpt"]))
+        run_tool("distill", [
+            "--opt_path", os.path.join(world["ckpt"], "synthetic_mul", "interaction", "opt.txt"),
+            "--stages", "10", "--epochs_per_stage", "1", "--log_every", "2",
+        ])
+        stage_dir = os.path.join(world["ckpt"], "synthetic_mul", "interaction_distill10")
+        assert os.path.isdir(os.path.join(stage_dir, "model", "latest"))
+        assert os.path.exists(os.path.join(stage_dir, "meta", "mean.npy"))
+        opt = open(os.path.join(stage_dir, "opt.txt")).read()
+        assert "sampler: ddim" in opt and "ddim_steps: 10" in opt
+        run_tool("evaluation", [
+            "--opt_path", os.path.join(stage_dir, "opt.txt"),
+            "--eval_model_dir", os.path.join(world["ckpt"], "synthetic_mul", "eval_model", "model"),
+            "--consistency_model_dir",
+            os.path.join(world["ckpt"], "synthetic_mul", "consistency_eval_model", "model"),
+            "--gen_T", "41", "--file_id", "d10",
+        ])
+        log_dir = os.path.join(
+            os.path.dirname(world["ckpt"]), "result", "interaction_distill10", "latest"
+        )
+        summary = json.load(open(os.path.join(log_dir, "summaryd10.json")))
+        assert np.isfinite(summary["FID"]["text2motion"][0])
+
     def test_visualization(self, world, monkeypatch, tmp_path):
         monkeypatch.chdir(str(tmp_path))
         run_tool("visualization", [
