@@ -93,8 +93,11 @@ class ExperimentConfig:
     which_epoch: str = "latest"
     split_file: str = "test_sub.txt"
     result_path: str = "./result"
-    sampler: str = "ddpm"  # "ddpm" | "ddim"
-    ddim_steps: int = 50
+    # "ddpm" (ancestral) | "ddim" (1st-order ODE fast path) | "dpm"
+    # (DPM-Solver++(2M), 2nd-order multistep — better few-step quality at
+    # the same one-call-per-step cost; diffusion/solvers.py)
+    sampler: str = "ddpm"
+    ddim_steps: int = 50  # step count for BOTH ddim and dpm grids
     # lax.scan unroll for the sampling loops (measured +1.7% at unroll=4 on
     # v5e bf16 DDPM-1000; costs compile time)
     sampler_unroll: int = 1

@@ -445,16 +445,20 @@ def make_sampler(
 ) -> Callable:
     """Returns sample(params, cond, lengths, rng) -> (B, 2, T, dim_pose).
 
+    ``sampler``: "ddpm" (ancestral), "ddim" (first-order ODE, the production
+    fast path), or "dpm" (DPM-Solver++(2M), second-order multistep — better
+    few-step quality at identical per-step cost, diffusion/solvers.py).
+
     cond is (B, 2, 77) tokens or (B, 2) cap ids. Everything loop-invariant
     is hoisted out of the scan: text is encoded once (as the reference does
     at :187-197), each layer's text-KV state is precomputed once — the
     reference recomputes text K/V projections in all 1000 steps — and, for
-    DDIM (whose timestep grid is known up front), so is every block's AdaLN
-    (scale, shift). When the model's compute dtype is bf16, params are cast
-    once up front.
+    DDIM/DPM (whose timestep grids are known up front), so is every block's
+    AdaLN (scale, shift). When the model's compute dtype is bf16, params are
+    cast once up front.
     """
     # the fused-block kernel computes its own AdaLN gate internally
-    hoist = hoist_adaln and sampler == "ddim" and not model.fused_blocks
+    hoist = hoist_adaln and sampler in ("ddim", "dpm") and not model.fused_blocks
 
     @jax.jit
     def sample(params, cond, lengths, rng):
@@ -474,11 +478,18 @@ def make_sampler(
             )
 
         shape = (B, 2, T, dim_pose)
-        if sampler == "ddim":
+        if sampler in ("ddim", "dpm"):
             aux = None
             if hoist:
                 ts = g.ddim_timesteps(sched.num_timesteps, ddim_steps)
                 aux = adaln_scale_shift_grid(model, params, ts, xf_proj)
+            if sampler == "dpm":
+                from hig_tpu.diffusion.solvers import dpmpp_2m_sample_loop
+
+                return dpmpp_2m_sample_loop(
+                    sched, denoiser, shape, rng, num_steps=ddim_steps,
+                    unroll=unroll, model_aux=aux,
+                )
             return g.ddim_sample_loop(
                 sched, denoiser, shape, rng, num_steps=ddim_steps, unroll=unroll,
                 model_aux=aux,
@@ -546,6 +557,10 @@ def make_single_sampler(
             )
 
         shape = (B, T, dim_pose)
+        if sampler == "dpm":
+            from hig_tpu.diffusion.solvers import dpmpp_2m_sample_loop
+
+            return dpmpp_2m_sample_loop(sched, denoiser, shape, rng, num_steps=ddim_steps)
         if sampler == "ddim":
             return g.ddim_sample_loop(sched, denoiser, shape, rng, num_steps=ddim_steps)
         return g.p_sample_loop(sched, denoiser, shape, rng)

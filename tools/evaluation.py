@@ -93,7 +93,8 @@ def main():
     parser.add_argument("--eval_model_dir", type=str, default=None)
     parser.add_argument("--consistency_model_dir", type=str, default=None)
     parser.add_argument("--replication_times", type=int, default=1)
-    parser.add_argument("--sampler", type=str, default=None, choices=[None, "ddpm", "ddim"])
+    parser.add_argument("--sampler", type=str, default=None,
+                        choices=[None, "ddpm", "ddim", "dpm"])
     parser.add_argument("--gen_T", type=int, default=None,
                         help="generation length (default: max_motion_length)")
     parser.add_argument("--ddim_steps", type=int, default=None,

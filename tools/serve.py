@@ -42,7 +42,8 @@ def main():
     parser.add_argument("--out_dir", type=str, default="./result/serve")
     parser.add_argument("--batch_size", type=int, default=256)
     parser.add_argument("--motion_length", type=int, default=60)
-    parser.add_argument("--sampler", type=str, default=None, choices=[None, "ddpm", "ddim"])
+    parser.add_argument("--sampler", type=str, default=None,
+                        choices=[None, "ddpm", "ddim", "dpm"])
     parser.add_argument("--fit_smpl", action="store_true")
     parser.add_argument("--smpl_model", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
