@@ -38,12 +38,21 @@ def main():
     parser.add_argument("--no-gif", dest="gif", action="store_false")
     parser.add_argument("--single", action="store_true",
                         help="single-person model (ref visualization.py non-interaction branch)")
+    parser.add_argument("--sampler", type=str, default=None,
+                        choices=[None, "ddpm", "ddim", "dpm"],
+                        help="override the checkpoint's sampler")
+    parser.add_argument("--ddim_steps", type=int, default=None,
+                        help="override the checkpoint's ddim/dpm step count")
     args = parser.parse_args()
 
     if args.single:
         return run_single(args)
 
     cfg = load_opt_txt(args.opt_path, is_train=False)
+    if args.sampler:
+        cfg.sampler = args.sampler
+    if args.ddim_steps:
+        cfg.ddim_steps = args.ddim_steps
     if args.class_id is not None:
         caption1, caption2 = CLASSID2CAPS[args.class_id]
     else:
@@ -111,6 +120,10 @@ def run_single(args):
     from hig_tpu.utils.motion_codec import recover_from_ric
 
     cfg = load_opt_txt(args.opt_path, is_train=False)
+    if args.sampler:
+        cfg.sampler = args.sampler
+    if args.ddim_steps:
+        cfg.ddim_steps = args.ddim_steps
     caption = args.caption1 or "a person walks forward"
     mean, std = load_stats(cfg, for_training=False)
 
