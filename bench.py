@@ -35,7 +35,44 @@ def _sync(x) -> float:
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))
 
 
+def _tpu_alive(timeout_s: int = 240) -> bool:
+    """Probe device usability in a CHILD process with a hard timeout.
+
+    Late round 3 the tunnel went fully down: device use (and sometimes the
+    interpreter's own startup registration) hangs with no exception. A child
+    probe bounds that risk so the benchmark always emits its one JSON line.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--probe-tpu"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0 and "TPU_OK" in proc.stdout
+    except Exception:  # noqa: BLE001 — any failure means "not usable"
+        return False
+
+
+def probe_tpu():
+    x = jnp.ones((128, 128))
+    _sync(x @ x)
+    print(f"TPU_OK {len(jax.devices())}")
+
+
 def main():
+    if not _tpu_alive():
+        print(json.dumps({
+            "metric": "batched_sampling_throughput",
+            "value": 0.0,
+            "unit": "frames/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "TPU unusable: device probe did not complete within "
+                     "240s (tunnel down or worker dead) — no measurement "
+                     "possible this run; see prior BENCH_r*.json for the "
+                     "last good numbers",
+        }))
+        return
     from hig_tpu.utils.cache import enable as enable_cache
 
     enable_cache()
@@ -89,6 +126,13 @@ def main():
     # reported alongside rather than as the headline.
     model_fastln = InteractionModel(dtype=jnp.bfloat16, fast_ln=True)
     results["ddim50_fastln_bf16_b64"], _ = time_sampler(model_fastln, 64, sampler="ddim")
+    # Few-step operating points. Throughput is weight-independent, so these
+    # are the speeds a distilled checkpoint serves at (quality evidence:
+    # results/distill_run/ — progressive distillation down the 25/13/7
+    # ladder) and the --sampler dpm training-free alternative's cost.
+    results["ddim13_bf16_b64"], _ = time_sampler(model_bf16, 64, "ddim", 13)
+    results["ddim7_bf16_b64"], _ = time_sampler(model_bf16, 64, "ddim", 7)
+    results["dpm7_bf16_b64"], _ = time_sampler(model_bf16, 64, "dpm", 7)
 
     # --- reference-style host loop on the same chip (f32 — ref has no AMP) --
     # Measured BEFORE the large-batch child probes: B=256 kills the TPU
@@ -233,7 +277,9 @@ def probe_batch(B: int):
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) or ".")
-    if len(sys.argv) == 3 and sys.argv[1] == "--probe-batch":
+    if len(sys.argv) == 2 and sys.argv[1] == "--probe-tpu":
+        probe_tpu()
+    elif len(sys.argv) == 3 and sys.argv[1] == "--probe-batch":
         probe_batch(int(sys.argv[2]))
     else:
         main()
