@@ -60,7 +60,9 @@ class DistillGrids:
         return len(self.ts)
 
 
-def distill_grids(T: int, num_steps: int) -> DistillGrids:
+def distill_grids(
+    T: int, num_steps: int, teacher_steps: int | None = None
+) -> DistillGrids:
     """Build the nested teacher/student grids for one distillation stage.
 
     The student grid is exactly :func:`gaussian.ddim_timesteps`, so sampling
@@ -71,6 +73,19 @@ def distill_grids(T: int, num_steps: int) -> DistillGrids:
     making the first half-step an exact identity
     (``ddim_step(x, eps, t, t) == x``) and the target the teacher's own
     single-step endpoint.
+
+    ``teacher_steps``: the teacher's own sampling-grid size. When given,
+    each midpoint is snapped to the nearest teacher grid point strictly
+    inside the transition. A distilled teacher has only ever been
+    *supervised* at its own ``ddim_timesteps(T, teacher_steps)`` points, so
+    querying it at a blind arithmetic midpoint asks for an extrapolation it
+    was never trained to make. The effect grows as the ladder descends and
+    is decisive at the final 2 -> 1 rung: the 2-step teacher's grid is
+    ``{T-1, 0}``, so the student's single ``T-1 -> x0`` transition must use
+    mid = 0 (the teacher's own two-step path), not the midpoint ``T//2``
+    where the 2-step teacher is undefined. For a stage-0 teacher (trained
+    at all t) snapping is harmless — its grid brackets every midpoint
+    closely.
     """
     ts = g.ddim_timesteps(T, num_steps).astype(np.int32)
     ts_prev = np.append(ts[1:], np.int32(-1)).astype(np.int32)
@@ -82,6 +97,12 @@ def distill_grids(T: int, num_steps: int) -> DistillGrids:
             f"timesteps (T={T})"
         )
     ts_mid = np.where(gaps >= 2, (ts + ts_prev) // 2, ts).astype(np.int32)
+    if teacher_steps is not None:
+        tgrid = g.ddim_timesteps(T, teacher_steps).astype(np.int32)
+        for i in range(len(ts)):
+            interior = tgrid[(tgrid < ts[i]) & (tgrid > ts_prev[i])]
+            if len(interior):
+                ts_mid[i] = interior[np.argmin(np.abs(interior - int(ts_mid[i])))]
     return DistillGrids(ts=ts, ts_prev=ts_prev, ts_mid=ts_mid)
 
 

@@ -300,7 +300,16 @@ def p_sample_loop(
 
 def ddim_timesteps(T: int, num_steps: int) -> np.ndarray:
     """The DDIM stride grid (descending, ending at 0) — exposed so callers
-    can precompute per-step state (adaln grids) over the exact same grid."""
+    can precompute per-step state (adaln grids) over the exact same grid.
+
+    ``num_steps=1`` is the one-call regime (a fully distilled student,
+    diffusion/distill.py): the single evaluation must happen at t = T-1 —
+    pure noise in, x0 out — so the grid is ``[T-1]``, not linspace's
+    degenerate ``[0]`` (which would ask the model to denoise pure noise as
+    if it were already clean).
+    """
+    if num_steps == 1:
+        return np.asarray([T - 1], np.int64)
     return np.linspace(0, T - 1, num_steps).round().astype(np.int64)[::-1]
 
 

@@ -135,6 +135,20 @@ class TestSamplers:
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_one_step_grid_and_sampling(self, sched):
+        """num_steps=1 is the fully-distilled one-call regime: the grid must
+        be [T-1] (denoise pure noise, not linspace's degenerate [0]) and the
+        sampler's single update must be the direct x0 prediction."""
+        T = sched.num_timesteps
+        np.testing.assert_array_equal(g.ddim_timesteps(T, 1), [T - 1])
+        # N>=2 grids are untouched (distilled checkpoints depend on them)
+        np.testing.assert_array_equal(g.ddim_timesteps(T, 2), [T - 1, 0])
+        x0 = jnp.ones((2, 4, 3)) * jnp.asarray([0.5, -0.25, 1.5])
+        model = self._perfect_model(sched, x0)
+        out = g.ddim_sample_loop(sched, model, x0.shape, jax.random.key(2),
+                                 num_steps=1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
     def test_samplers_jit_and_batch(self, sched):
         x0 = jnp.zeros((4, 6, 5))
         model = self._perfect_model(sched, x0)

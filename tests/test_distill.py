@@ -43,6 +43,36 @@ class TestGrids:
     def test_halving_stages(self):
         assert pd.halving_stages(50) == [25, 13, 7, 4]
         assert pd.halving_stages(8, min_steps=2) == [4, 2]
+        assert pd.halving_stages(2, min_steps=1) == [1]
+
+    def test_teacher_snapped_midpoints(self):
+        """With teacher_steps given, every midpoint with an interior teacher
+        grid point snaps onto the teacher's own trained grid."""
+        tgrid = set(g.ddim_timesteps(100, 9).tolist())
+        grids = pd.distill_grids(100, 5, teacher_steps=9)
+        # 5 = (9+1)//2: the ladder's exact-nesting case — student points are
+        # teacher points, and every interior midpoint is a teacher point.
+        assert set(grids.ts.tolist()) <= tgrid
+        for t, tp, m in zip(grids.ts, grids.ts_prev, grids.ts_mid):
+            interior = [p for p in tgrid if tp < p < t]
+            if interior:
+                assert int(m) in tgrid and tp < int(m) < t
+            else:
+                assert int(m) == int(t)  # clamped identity half-step
+        # without teacher_steps: unchanged blind-midpoint behavior
+        blind = pd.distill_grids(100, 5)
+        np.testing.assert_array_equal(blind.ts, grids.ts)
+        np.testing.assert_array_equal(blind.ts_prev, grids.ts_prev)
+
+    def test_final_rung_two_to_one(self):
+        """The 2 -> 1 rung: the 2-step teacher's grid is {T-1, 0}; the
+        student's single T-1 -> x0 transition must route the teacher through
+        mid = 0 (its own two-step path), never the blind midpoint where the
+        distilled teacher was never supervised."""
+        grids = pd.distill_grids(100, 1, teacher_steps=2)
+        np.testing.assert_array_equal(grids.ts, [99])
+        np.testing.assert_array_equal(grids.ts_prev, [-1])
+        np.testing.assert_array_equal(grids.ts_mid, [0])
 
 
 class TestTargetMath:

@@ -94,7 +94,11 @@ def main():
     it = 0
 
     for stage_idx, n_steps in enumerate(stages):
-        grids = pd.distill_grids(sched.num_timesteps, n_steps)
+        # Snap teacher midpoints onto the teacher's own trained grid: the
+        # stage-0 teacher knows all t, but every later teacher is a student
+        # that was only supervised on its own DDIM grid (see distill_grids).
+        prev_steps = cfg.ddim_steps if stage_idx == 0 else stages[stage_idx - 1]
+        grids = pd.distill_grids(sched.num_timesteps, n_steps, teacher_steps=prev_steps)
         opt_state = trainer.tx.init(student_params)
         state = TrainState(
             params=student_params, opt_state=opt_state,
@@ -105,7 +109,6 @@ def main():
             pd.make_distill_step(model, sched, trainer.tx, grids),
             donate_argnums=(0,),
         )
-        prev_steps = cfg.ddim_steps if stage_idx == 0 else stages[stage_idx - 1]
         print(f"=== stage {stage_idx}: teacher DDIM-{prev_steps} -> "
               f"student DDIM-{n_steps} ===")
         start = time.time()
