@@ -22,4 +22,4 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
   L7 config ............ hig_tpu.config
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
