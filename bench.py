@@ -128,11 +128,14 @@ def main():
     results["ddim50_fastln_bf16_b64"], _ = time_sampler(model_fastln, 64, sampler="ddim")
     # Few-step operating points. Throughput is weight-independent, so these
     # are the speeds a distilled checkpoint serves at (quality evidence:
-    # results/distill_run/ — progressive distillation down the 25/13/7
-    # ladder) and the --sampler dpm training-free alternative's cost.
+    # results/distill_run/ — progressive distillation down the full
+    # 25/13/7/4/2/1 ladder, including the one-denoiser-call regime) and the
+    # --sampler dpm training-free alternative's cost.
     results["ddim13_bf16_b64"], _ = time_sampler(model_bf16, 64, "ddim", 13)
     results["ddim7_bf16_b64"], _ = time_sampler(model_bf16, 64, "ddim", 7)
     results["dpm7_bf16_b64"], _ = time_sampler(model_bf16, 64, "dpm", 7)
+    results["ddim2_bf16_b64"], _ = time_sampler(model_bf16, 64, "ddim", 2)
+    results["ddim1_bf16_b64"], _ = time_sampler(model_bf16, 64, "ddim", 1)
 
     # --- reference-style host loop on the same chip (f32 — ref has no AMP) --
     # Measured BEFORE the large-batch child probes: B=256 kills the TPU

@@ -42,6 +42,24 @@ class TestDpmSolver:
         np.testing.assert_allclose(np.asarray(out_dpm), np.asarray(out_ddim),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_one_step_equals_ddim_one_step(self, sched):
+        """num_steps=1 (the fully-distilled one-call regime): the single
+        transition is the h→inf final hop, taken first-order as x = x0_pred —
+        exactly the DDIM-1 update from the [T-1] grid."""
+        shape = (3, 2, 6, 5)
+        noise = jnp.asarray(np.random.default_rng(8).normal(size=shape), jnp.float32)
+        rng = jax.random.key(9)
+        out_dpm = dpmpp_2m_sample_loop(sched, toy_model, shape, rng, 1, noise=noise)
+        out_ddim = g.ddim_sample_loop(sched, toy_model, shape, rng, num_steps=1,
+                                      noise=noise)
+        np.testing.assert_allclose(np.asarray(out_dpm), np.asarray(out_ddim),
+                                   rtol=1e-4, atol=1e-4)
+        # and it is the direct x0 prediction at t = T-1
+        t = jnp.full((shape[0],), sched.num_timesteps - 1, jnp.int32)
+        x0 = g.predict_xstart_from_eps(sched, noise, t, toy_model(noise, t))
+        np.testing.assert_allclose(np.asarray(out_ddim), np.asarray(x0),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_second_order_converges_faster_than_ddim(self, sched):
         """Both samplers integrate the same probability-flow ODE; the
         well-converged DDIM-256 result is the reference solution. At 16
