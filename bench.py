@@ -107,13 +107,14 @@ def main():
 
     reps = 3
 
-    def time_sampler(model, B, sampler="ddpm", ddim_steps=50):
+    def time_sampler(model, B, sampler="ddpm", ddim_steps=50, params_=None):
         tokens, lengths = make_inputs(B)
         fn = make_sampler(model, sched, T, D, sampler=sampler, ddim_steps=ddim_steps)
-        _sync(fn(params, tokens, lengths, jax.random.key(0)))  # compile
+        p = params if params_ is None else params_
+        _sync(fn(p, tokens, lengths, jax.random.key(0)))  # compile
         t0 = time.time()
         for i in range(reps):
-            _sync(fn(params, tokens, lengths, jax.random.key(i + 1)))
+            _sync(fn(p, tokens, lengths, jax.random.key(i + 1)))
         per_batch = (time.time() - t0) / reps
         return B * 2 * (T - 1) / per_batch, per_batch
 
@@ -136,6 +137,20 @@ def main():
     results["dpm7_bf16_b64"], _ = time_sampler(model_bf16, 64, "dpm", 7)
     results["ddim2_bf16_b64"], _ = time_sampler(model_bf16, 64, "ddim", 2)
     results["ddim1_bf16_b64"], _ = time_sampler(model_bf16, 64, "ddim", 1)
+    # --rms_norm twin: scale-only norm param tree, so it needs its own init.
+    # Throughput is weight-independent; the quality half of the evidence is
+    # the five-metric parity run in results/rms_run/. Targets the ~56
+    # serialized norm reduce fusions the DDIM step is latency-bound on.
+    model_rms = InteractionModel(dtype=jnp.bfloat16, rms_norm=True)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params_rms = jax.jit(
+            InteractionModel(rms_norm=True).init, backend="cpu"
+        )(jax.random.key(0), x0, t0_, lengths64, tokens64)
+    params_rms = jax.device_put(params_rms, jax.devices()[0])
+    results["ddim50_rms_bf16_b64"], _ = time_sampler(
+        model_rms, 64, "ddim", params_=params_rms
+    )
+    del params_rms
 
     # --- reference-style host loop on the same chip (f32 — ref has no AMP) --
     # Measured BEFORE the large-batch child probes: B=256 kills the TPU

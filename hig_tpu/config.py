@@ -123,6 +123,13 @@ class ExperimentConfig:
     # bf16 graphs (~19% of the DDIM step was f32 layout copies, ROOFLINE.md).
     # Opt-in: changes numerics; five-metric eval parity evidence in NOTES.md.
     fast_ln: bool = False
+    # RMSNorm instead of LayerNorm in the denoiser blocks (training-time
+    # architecture choice; the text tower keeps LayerNorm for CLIP weight
+    # portability). The DDIM scan body is latency-bound on ~56 serialized
+    # norm reduce fusions (ROOFLINE.md); RMSNorm drops the mean subtraction
+    # and bias from each. Scale-only param tree — checkpoints do not swap
+    # with LayerNorm models. Requires the efficient path; no --fused_blocks.
+    rms_norm: bool = False
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     window_size: int = 90  # training window frames (ref: mul_dataset.py:186)
     # multi-host: call jax.distributed.initialize at CLI entry (the

@@ -256,6 +256,7 @@ class EfficientSelfAttention(nn.Module):
     fused: bool = False
     causal: bool = False
     fast_ln: bool = False
+    rms: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -269,7 +270,8 @@ class EfficientSelfAttention(nn.Module):
             return _fused_block_apply(
                 x, x, mask, emb, params, self.num_heads, self.dtype
             )
-        xn = make_layer_norm(self.dtype, self.fast_ln, name="norm")(x)
+        xn = make_layer_norm(self.dtype, self.fast_ln, name="norm",
+                             rms=self.rms)(x)
         D = self.latent_dim
         qkv_params = (
             _DenseParams(D, D, name="query")(),
@@ -283,7 +285,7 @@ class EfficientSelfAttention(nn.Module):
             attend = causal_efficient_attention if self.causal else efficient_attention
             y = attend(q, k, v, self.num_heads, key_mask=src_mask)
         styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype,
-                                self.fast_ln, name="proj_out")
+                                self.fast_ln, rms=self.rms, name="proj_out")
         if adaln is not None:
             # (scale, shift) precomputed outside a sampling scan
             # (adaln_scale_shift_grid) — skips the per-step emb projection.
@@ -311,16 +313,19 @@ class EfficientCrossAttention(nn.Module):
     dropout: float = 0.0
     use_pallas: bool = False
     fast_ln: bool = False
+    rms: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.norm = make_layer_norm(self.dtype, self.fast_ln)
+        self.norm = make_layer_norm(self.dtype, self.fast_ln, rms=self.rms)
+        # text_norm stays LayerNorm even under --rms_norm: it runs once per
+        # sampling call (hoisted with kv), never in the scan body.
         self.text_norm = nn.LayerNorm(dtype=self.dtype)  # runs once (hoisted)
         self.query = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.key = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.value = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.proj_out = StylizationBlock(self.latent_dim, self.dropout, self.dtype,
-                                         self.fast_ln)
+                                         self.fast_ln, rms=self.rms)
 
     def kv(self, xf: jax.Array) -> jax.Array:
         """Loop-invariant text KᵀV product: (..., L, Dt) → (..., H, dh, dh)."""
@@ -361,6 +366,7 @@ class EfficientInteractionAttention(nn.Module):
     fused: bool = False
     causal: bool = False
     fast_ln: bool = False
+    rms: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -379,7 +385,8 @@ class EfficientInteractionAttention(nn.Module):
             )
         # LayerNorm is per-token, so norm(flip(x)) == flip(norm(x)): normalize
         # once and flip.
-        norm = make_layer_norm(self.dtype, self.fast_ln, name="norm")
+        norm = make_layer_norm(self.dtype, self.fast_ln, name="norm",
+                               rms=self.rms)
         xn = norm(x)
         mask = jnp.broadcast_to(src_mask, x.shape[:-1])
         pmask = jnp.flip(mask, axis=1)
@@ -403,7 +410,7 @@ class EfficientInteractionAttention(nn.Module):
             attend = causal_efficient_attention if self.causal else efficient_attention
             y = attend(q, k, v, self.num_heads, key_mask=pmask)
         styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype,
-                                self.fast_ln, name="proj_out")
+                                self.fast_ln, rms=self.rms, name="proj_out")
         if adaln is not None:
             return x + styl.from_scale_shift(y, *adaln, deterministic)
         return x + styl(y, emb, deterministic)
@@ -539,6 +546,7 @@ class FFN(nn.Module):
     ffn_dim: int
     dropout: float = 0.0
     fast_ln: bool = False
+    rms: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -553,7 +561,7 @@ class FFN(nn.Module):
             name="linear2",
         )(h)
         styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype,
-                                self.fast_ln, name="proj_out")
+                                self.fast_ln, rms=self.rms, name="proj_out")
         if adaln is not None:
             return x + styl.from_scale_shift(h, *adaln, deterministic)
         return x + styl(h, emb, deterministic)

@@ -54,6 +54,7 @@ class InteractionDenoiserLayer(nn.Module):
     fused_blocks: bool = False
     causal: bool = False
     fast_ln: bool = False
+    rms_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -62,17 +63,18 @@ class InteractionDenoiserLayer(nn.Module):
             self.sa_block = EfficientSelfAttention(
                 self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
                 fused=self.fused_blocks, causal=self.causal,
-                fast_ln=self.fast_ln, **kw
+                fast_ln=self.fast_ln, rms=self.rms_norm, **kw
             )
             self.ca_block = EfficientCrossAttention(
                 self.latent_dim, self.text_latent_dim, self.num_heads,
-                use_pallas=self.use_pallas, fast_ln=self.fast_ln, **kw
+                use_pallas=self.use_pallas, fast_ln=self.fast_ln,
+                rms=self.rms_norm, **kw
             )
             if self.interaction:
                 self.int_ca_block = EfficientInteractionAttention(
                     self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
                     fused=self.fused_blocks, causal=self.causal,
-                    fast_ln=self.fast_ln, **kw
+                    fast_ln=self.fast_ln, rms=self.rms_norm, **kw
                 )
         else:
             # the --no_eff compat path keeps flax's default f32 LN statistics
@@ -89,7 +91,8 @@ class InteractionDenoiserLayer(nn.Module):
                     use_pallas=self.use_pallas, **kw
                 )
         self.ffn = FFN(self.latent_dim, self.ff_size,
-                       fast_ln=self.fast_ln and self.efficient, **kw)
+                       fast_ln=self.fast_ln and self.efficient,
+                       rms=self.rms_norm, **kw)
 
     def text_kv(self, xf_out):
         """This layer's loop-invariant text cross-attention state."""
@@ -139,6 +142,7 @@ class InteractionDenoiser(nn.Module):
     causal: bool = False
     single_transformer: bool = False
     fast_ln: bool = False
+    rms_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -146,6 +150,15 @@ class InteractionDenoiser(nn.Module):
         return self.latent_dim * 4
 
     def setup(self):
+        if self.rms_norm and (not self.efficient or self.fused_blocks):
+            # The --no_eff compat path keeps the reference's exact LayerNorm
+            # stack, and the fused Pallas kernel computes LayerNorm
+            # internally — neither supports RMSNorm. Refuse rather than
+            # silently train one architecture and serve another.
+            raise ValueError(
+                "--rms_norm requires the efficient attention path and is "
+                "incompatible with --fused_blocks"
+            )
         if self.causal and self.single_transformer:
             # The merged-2T baseline concatenates the actors along the token
             # axis, so a causal mask over token index is NOT temporal
@@ -185,6 +198,7 @@ class InteractionDenoiser(nn.Module):
                     use_pallas=self.use_pallas,
                     causal=self.causal,
                     fast_ln=self.fast_ln,
+                    rms_norm=self.rms_norm,
                     dtype=self.dtype,
                     name=f"layer_{i}",
                 )
@@ -204,6 +218,7 @@ class InteractionDenoiser(nn.Module):
                     fused_blocks=self.fused_blocks,
                     causal=self.causal,
                     fast_ln=self.fast_ln,
+                    rms_norm=self.rms_norm,
                     dtype=self.dtype,
                     name=f"layer_{i}",
                 )
@@ -318,6 +333,7 @@ class SinglePersonDenoiserLayer(nn.Module):
     use_pallas: bool = False
     causal: bool = False
     fast_ln: bool = False
+    rms_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -325,11 +341,13 @@ class SinglePersonDenoiserLayer(nn.Module):
         if self.efficient:
             self.sa_block = EfficientSelfAttention(
                 self.latent_dim, self.num_heads, use_pallas=self.use_pallas,
-                causal=self.causal, fast_ln=self.fast_ln, **kw
+                causal=self.causal, fast_ln=self.fast_ln, rms=self.rms_norm,
+                **kw
             )
             self.ca_block = EfficientCrossAttention(
                 self.latent_dim, self.text_latent_dim, self.num_heads,
-                use_pallas=self.use_pallas, fast_ln=self.fast_ln, **kw
+                use_pallas=self.use_pallas, fast_ln=self.fast_ln,
+                rms=self.rms_norm, **kw
             )
         else:
             self.sa_block = QuadraticSelfAttention(
@@ -340,7 +358,8 @@ class SinglePersonDenoiserLayer(nn.Module):
                 self.latent_dim, self.text_latent_dim, self.num_heads, **kw
             )
         self.ffn = FFN(self.latent_dim, self.ff_size,
-                       fast_ln=self.fast_ln and self.efficient, **kw)
+                       fast_ln=self.fast_ln and self.efficient,
+                       rms=self.rms_norm, **kw)
 
     def text_kv(self, xf_out):
         return self.ca_block.kv(xf_out)

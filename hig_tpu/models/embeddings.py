@@ -49,7 +49,8 @@ class TimeEmbedMLP(nn.Module):
         return nn.Dense(self.time_embed_dim, dtype=self.dtype, name="fc2")(h)
 
 
-def make_layer_norm(dtype, fast_ln: bool = False, name: str | None = None):
+def make_layer_norm(dtype, fast_ln: bool = False, name: str | None = None,
+                    rms: bool = False):
     """LayerNorm whose statistics stay in the compute dtype when ``fast_ln``.
 
     flax promotes LN mean/variance to f32 by default; in a bf16 graph that
@@ -57,10 +58,16 @@ def make_layer_norm(dtype, fast_ln: bool = False, name: str | None = None):
     trace of the DDIM-50 scan body these convert+reduce fusions and the f32
     layout copies they force are ~40% of the step. ``fast_ln`` keeps the
     reductions in bf16 (opt-in: it changes numerics; quality-validated via
-    the full five-metric eval, see NOTES.md)."""
-    return nn.LayerNorm(
-        dtype=dtype, force_float32_reductions=not fast_ln, name=name
-    )
+    the full five-metric eval, see NOTES.md).
+
+    ``rms``: RMSNorm instead of LayerNorm (--rms_norm, a training-time
+    architecture choice): drops the mean subtraction and the bias, halving
+    the reduction work of each norm. The DDIM-50 scan body is latency-bound
+    on ~56 serialized norm/softmax reduce fusions (ROOFLINE.md), so this is
+    the trainable lever on that wall. Scale-only parameter tree — not
+    checkpoint-compatible with LayerNorm models."""
+    cls = nn.RMSNorm if rms else nn.LayerNorm
+    return cls(dtype=dtype, force_float32_reductions=not fast_ln, name=name)
 
 
 class StylizationBlock(nn.Module):
@@ -81,12 +88,13 @@ class StylizationBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     fast_ln: bool = False
+    rms: bool = False
 
     def setup(self):
         # attribute names become the param-tree names — identical to the
         # previous nn.compact layout (emb/norm/out), so checkpoints swap.
         self.emb = nn.Dense(2 * self.latent_dim, dtype=self.dtype)
-        self.norm = make_layer_norm(self.dtype, self.fast_ln)
+        self.norm = make_layer_norm(self.dtype, self.fast_ln, rms=self.rms)
         self.out = nn.Dense(
             self.latent_dim, kernel_init=nn.initializers.zeros, dtype=self.dtype
         )

@@ -46,6 +46,7 @@ class InteractionModel(nn.Module):
     causal: bool = False
     single_transformer: bool = False
     fast_ln: bool = False
+    rms_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -87,6 +88,7 @@ class InteractionModel(nn.Module):
             causal=self.causal,
             single_transformer=self.single_transformer,
             fast_ln=self.fast_ln,
+            rms_norm=self.rms_norm,
             dtype=self.dtype,
         )
 
@@ -255,5 +257,6 @@ def model_from_config(
         causal=getattr(cfg, "causal", False),
         single_transformer=getattr(cfg, "single_transformer", False),
         fast_ln=getattr(cfg, "fast_ln", False),
+        rms_norm=getattr(cfg, "rms_norm", False),
         dtype=dtype,
     )
