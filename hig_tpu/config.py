@@ -130,6 +130,14 @@ class ExperimentConfig:
     # and bias from each. Scale-only param tree — checkpoints do not swap
     # with LayerNorm models. Requires the efficient path; no --fused_blocks.
     rms_norm: bool = False
+    # classifier-free guidance (absent in the reference). cond_drop_prob > 0
+    # trains with caption dropout against a learned null conditioning
+    # (final text-conditioned stage only — meaningless under the PIT
+    # min-assignment loss); guidance_scale != 1 samples
+    # eps_uncond + w·(eps_cond − eps_uncond) at 2 denoiser calls per step
+    # and requires a cond_drop_prob-trained checkpoint.
+    cond_drop_prob: float = 0.0
+    guidance_scale: float = 1.0
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     window_size: int = 90  # training window frames (ref: mul_dataset.py:186)
     # multi-host: call jax.distributed.initialize at CLI entry (the

@@ -47,6 +47,12 @@ class InteractionModel(nn.Module):
     single_transformer: bool = False
     fast_ln: bool = False
     rms_norm: bool = False
+    # classifier-free guidance (absent in the reference): > 0 creates the
+    # learned null-conditioning params and enables caption dropout in the
+    # train loss; sampling can then blend eps_uncond + w·(eps_cond −
+    # eps_uncond) (make_sampler's guidance_scale). Kept at 0.0 by default so
+    # the parameter tree of existing checkpoints is unchanged.
+    cond_drop_prob: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -91,6 +97,13 @@ class InteractionModel(nn.Module):
             rms_norm=self.rms_norm,
             dtype=self.dtype,
         )
+        if self.cond_drop_prob > 0.0:
+            self.null_xf_proj = self.param(
+                "null_xf_proj", nn.initializers.zeros, (self.time_embed_dim,)
+            )
+            self.null_xf_token = self.param(
+                "null_xf_token", nn.initializers.zeros, (self.text_latent_dim,)
+            )
 
     # --- text conditioning -------------------------------------------------
 
@@ -125,6 +138,21 @@ class InteractionModel(nn.Module):
             xf_proj.reshape(B, A, -1),
             xf_out.reshape((B, A) + xf_out.shape[1:]),
         )
+
+    def null_conditioning(self, B: int, L: int = 1):
+        """The learned unconditional ('null caption') state for classifier-
+        free guidance: ((B, 2, E) pooled, (B, 2, L, Dt) token state). L is a
+        free choice — the efficient cross-attention softmax over L identical
+        tokens reduces to the single-token K^T V exactly, so L=1 is the
+        cheap default. Only exists when ``cond_drop_prob > 0``."""
+        proj = jnp.broadcast_to(
+            self.null_xf_proj.astype(self.dtype), (B, 2, self.time_embed_dim)
+        )
+        out = jnp.broadcast_to(
+            self.null_xf_token.astype(self.dtype),
+            (B, 2, L, self.text_latent_dim),
+        )
+        return proj, out
 
     # --- denoising ---------------------------------------------------------
 
@@ -258,5 +286,6 @@ def model_from_config(
         single_transformer=getattr(cfg, "single_transformer", False),
         fast_ln=getattr(cfg, "fast_ln", False),
         rms_norm=getattr(cfg, "rms_norm", False),
+        cond_drop_prob=getattr(cfg, "cond_drop_prob", 0.0),
         dtype=dtype,
     )

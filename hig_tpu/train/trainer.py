@@ -177,7 +177,20 @@ def make_loss_fn(
     update; since the whole batch is global under SPMD, no explicit
     cross-host all_gather is needed (the reference's :74-106 sync collapses
     into the jit'd program).
+
+    With ``model.cond_drop_prob > 0`` (--cond_drop_prob, classifier-free
+    guidance training) each sample's conditioning is replaced by the
+    learned null conditioning with that probability — supervised stage
+    only: under the PIT min-assignment loss both assignments of a dropped
+    sample collapse to the same null, so the role signal degenerates.
     """
+    if pit and getattr(model, "cond_drop_prob", 0.0) > 0.0:
+        raise ValueError(
+            "--cond_drop_prob requires the supervised (label_path) stage: "
+            "under the PIT min-assignment loss a dropped sample's two "
+            "caption assignments become identical, degenerating the role "
+            "signal. Train CFG on the final text-conditioned model."
+        )
 
     def loss_fn(params, batch, rng, ts_state=None):
         motion = batch["motion"]
@@ -235,6 +248,22 @@ def make_loss_fn(
             else:
                 cond = batch["tokens"]
             xf_proj, xf_out = enc(cond)
+            if getattr(model, "cond_drop_prob", 0.0) > 0.0:
+                # CFG caption dropout: per-sample, both actors together
+                # (the pair is conditioned as a unit). fold_in keeps the
+                # t/noise rng streams identical to a non-CFG run.
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(rng, 7),
+                    1.0 - model.cond_drop_prob, (B,),
+                )
+                n_proj, n_out = model.apply(
+                    params, B, xf_out.shape[2],
+                    method=InteractionModel.null_conditioning,
+                )
+                xf_proj = jnp.where(keep[:, None, None], xf_proj,
+                                    n_proj.astype(xf_proj.dtype))
+                xf_out = jnp.where(keep[:, None, None, None], xf_out,
+                                   n_out.astype(xf_out.dtype))
             pred = denoise(x_t, t, xf_proj, xf_out)
             loss, per_sample = supervised_loss(pred, target, mask, is_weights)
         else:
@@ -442,6 +471,7 @@ def make_sampler(
     ddim_steps: int = 50,
     unroll: int = 1,
     hoist_adaln: bool = True,
+    guidance_scale: float = 1.0,
 ) -> Callable:
     """Returns sample(params, cond, lengths, rng) -> (B, 2, T, dim_pose).
 
@@ -456,9 +486,21 @@ def make_sampler(
     DDIM/DPM (whose timestep grids are known up front), so is every block's
     AdaLN (scale, shift). When the model's compute dtype is bf16, params are
     cast once up front.
+
+    ``guidance_scale`` != 1 (classifier-free guidance, --guidance_scale):
+    every step evaluates the denoiser under the text conditioning AND the
+    learned null conditioning and blends eps_u + w·(eps_c − eps_u). Needs a
+    model trained with --cond_drop_prob > 0; the null text-KV state and
+    null AdaLN grid are hoisted exactly like the conditional ones.
     """
     # the fused-block kernel computes its own AdaLN gate internally
     hoist = hoist_adaln and sampler in ("ddim", "dpm") and not model.fused_blocks
+    guided = guidance_scale != 1.0
+    if guided and getattr(model, "cond_drop_prob", 0.0) <= 0.0:
+        raise ValueError(
+            "--guidance_scale != 1 requires a checkpoint trained with "
+            "--cond_drop_prob > 0 (no null conditioning in this model)"
+        )
 
     @jax.jit
     def sample(params, cond, lengths, rng):
@@ -471,11 +513,29 @@ def make_sampler(
         text_kv = model.apply(params, xf_out, method=InteractionModel.text_kv)
         lengths = jnp.minimum(lengths, T)
 
-        def denoiser(x, t, adaln=None):
+        def cond_denoiser(x, t, xfp, kv, adaln=None):
             return model.apply(
-                params, x, t, lengths, xf_proj, None, True,
-                method=InteractionModel.denoise, text_kv=text_kv, adaln=adaln,
+                params, x, t, lengths, xfp, None, True,
+                method=InteractionModel.denoise, text_kv=kv, adaln=adaln,
             )
+
+        if guided:
+            n_proj, n_out = model.apply(
+                params, B, method=InteractionModel.null_conditioning
+            )
+            null_kv = model.apply(params, n_out, method=InteractionModel.text_kv)
+            w = guidance_scale
+
+            def denoiser(x, t, aux=None):
+                a_c = a_u = None
+                if aux is not None:
+                    a_c, a_u = aux["c"], aux["u"]
+                e_c = cond_denoiser(x, t, xf_proj, text_kv, a_c)
+                e_u = cond_denoiser(x, t, n_proj, null_kv, a_u)
+                return e_u + w * (e_c - e_u)
+        else:
+            def denoiser(x, t, adaln=None):
+                return cond_denoiser(x, t, xf_proj, text_kv, adaln)
 
         shape = (B, 2, T, dim_pose)
         if sampler in ("ddim", "dpm"):
@@ -483,6 +543,9 @@ def make_sampler(
             if hoist:
                 ts = g.ddim_timesteps(sched.num_timesteps, ddim_steps)
                 aux = adaln_scale_shift_grid(model, params, ts, xf_proj)
+                if guided:
+                    aux = {"c": aux,
+                           "u": adaln_scale_shift_grid(model, params, ts, n_proj)}
             if sampler == "dpm":
                 from hig_tpu.diffusion.solvers import dpmpp_2m_sample_loop
 

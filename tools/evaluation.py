@@ -99,6 +99,9 @@ def main():
                         help="generation length (default: max_motion_length)")
     parser.add_argument("--ddim_steps", type=int, default=None,
                         help="override the checkpoint's ddim_steps (quality-vs-steps sweeps)")
+    parser.add_argument("--guidance_scale", type=float, default=None,
+                        help="classifier-free guidance weight override "
+                             "(needs a --cond_drop_prob-trained checkpoint)")
     parser.add_argument("--fast_ln", action="store_true",
                         help="bf16 LayerNorm statistics (config.py fast_ln) — "
                              "override for evaluating an existing checkpoint "
@@ -126,6 +129,8 @@ def main():
         cfg.sampler = args.sampler
     if args.ddim_steps:
         cfg.ddim_steps = args.ddim_steps
+    if args.guidance_scale is not None:
+        cfg.guidance_scale = args.guidance_scale
     if args.fast_ln:
         cfg.fast_ln = True
     mean, std = load_stats(cfg, for_training=False)
@@ -162,6 +167,7 @@ def main():
         trainer.model, trainer.sched, T=T_gen, dim_pose=cfg.dim_pose,
         sampler=cfg.sampler, ddim_steps=cfg.ddim_steps,
         unroll=getattr(cfg, 'sampler_unroll', 1),
+        guidance_scale=getattr(cfg, 'guidance_scale', 1.0),
     )
     if cfg.cap_id:
         from hig_tpu.data.vocab import CAP2KEY

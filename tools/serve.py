@@ -86,6 +86,7 @@ def main():
         trainer.model, trainer.sched, T=T, dim_pose=cfg.dim_pose,
         sampler=cfg.sampler, ddim_steps=cfg.ddim_steps,
         unroll=getattr(cfg, 'sampler_unroll', 1),
+        guidance_scale=getattr(cfg, 'guidance_scale', 1.0),
     )
     mesh = trainer.mesh
     use_mesh = mesh.devices.size > 1

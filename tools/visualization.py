@@ -41,6 +41,9 @@ def main():
     parser.add_argument("--sampler", type=str, default=None,
                         choices=[None, "ddpm", "ddim", "dpm"],
                         help="override the checkpoint's sampler")
+    parser.add_argument("--guidance_scale", type=float, default=None,
+                        help="classifier-free guidance weight override "
+                             "(needs a --cond_drop_prob-trained checkpoint)")
     parser.add_argument("--ddim_steps", type=int, default=None,
                         help="override the checkpoint's ddim/dpm step count")
     args = parser.parse_args()
@@ -53,6 +56,8 @@ def main():
         cfg.sampler = args.sampler
     if args.ddim_steps:
         cfg.ddim_steps = args.ddim_steps
+    if args.guidance_scale is not None:
+        cfg.guidance_scale = args.guidance_scale
     if args.class_id is not None:
         caption1, caption2 = CLASSID2CAPS[args.class_id]
     else:
@@ -68,6 +73,7 @@ def main():
         trainer.model, trainer.sched, T=T, dim_pose=cfg.dim_pose,
         sampler=cfg.sampler, ddim_steps=cfg.ddim_steps,
         unroll=getattr(cfg, 'sampler_unroll', 1),
+        guidance_scale=getattr(cfg, 'guidance_scale', 1.0),
     )
     if cfg.cap_id:
         # PIT-mode models condition on caption-key ids, not BPE tokens
@@ -124,6 +130,8 @@ def run_single(args):
         cfg.sampler = args.sampler
     if args.ddim_steps:
         cfg.ddim_steps = args.ddim_steps
+    if args.guidance_scale is not None:
+        cfg.guidance_scale = args.guidance_scale
     caption = args.caption1 or "a person walks forward"
     mean, std = load_stats(cfg, for_training=False)
 
