@@ -195,9 +195,21 @@ def make_distill_loss(
 
     Distillation runs on the final text-conditioned model — role labels are
     already resolved, so the PIT assignment axis never appears here.
+
+    A CFG teacher (``model.cond_drop_prob > 0``) has a live null-conditioning
+    branch that guided sampling queries every step; if distillation only ever
+    supervised the conditional branch, sampling the student with
+    ``--guidance_scale != 1`` would blend an UN-distilled unconditional eps
+    into the distilled conditional one. So the teacher's caption dropout is
+    applied here too — the same per-sample keep mask swaps in the null
+    conditioning for teacher and student together, distilling the null
+    branch on the same grid (same trick as train-time CFG dropout,
+    trainer.py::make_loss_fn).
     """
     from hig_tpu.models.interaction_model import InteractionModel
     from hig_tpu.train.trainer import per_token_loss
+
+    cond_drop_prob = float(getattr(model, "cond_drop_prob", 0.0))
 
     ts = jnp.asarray(grids.ts)
     ts_prev = jnp.asarray(grids.ts_prev)
@@ -233,6 +245,26 @@ def make_distill_loss(
         x_t = g.q_sample(sched, motion, t, noise)
 
         t_xf_proj, t_xf_out = enc(teacher_params, cond)
+        s_xf_proj, s_xf_out = enc(student_params, cond)
+        if cond_drop_prob > 0.0:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(rng, 7), 1.0 - cond_drop_prob, (B,)
+            )
+
+            def drop(params, xf_proj, xf_out):
+                n_proj, n_out = model.apply(
+                    params, B, xf_out.shape[2],
+                    method=InteractionModel.null_conditioning,
+                )
+                return (
+                    jnp.where(keep[:, None, None], xf_proj,
+                              n_proj.astype(xf_proj.dtype)),
+                    jnp.where(keep[:, None, None, None], xf_out,
+                              n_out.astype(xf_out.dtype)),
+                )
+
+            t_xf_proj, t_xf_out = drop(teacher_params, t_xf_proj, t_xf_out)
+            s_xf_proj, s_xf_out = drop(student_params, s_xf_proj, s_xf_out)
 
         def teacher(x, tt):
             return model.apply(
@@ -242,7 +274,6 @@ def make_distill_loss(
 
         x0_target, weight = distill_targets(sched, teacher, x_t, t, t_mid, t_prev)
 
-        s_xf_proj, s_xf_out = enc(student_params, cond)
         eps_hat = model.apply(
             student_params, x_t, t, lengths, s_xf_proj, s_xf_out, True,
             method=InteractionModel.denoise,

@@ -165,7 +165,11 @@ def pipeline_denoise(
         dropout=model.dropout,
         efficient=True,
         interaction=model.interaction,
+        use_pallas=model.use_pallas,
+        fused_blocks=model.fused_blocks,
+        causal=model.causal,
         fast_ln=model.fast_ln,
+        rms_norm=model.rms_norm,
         dtype=model.dtype,
     )
     den = params["params"]["denoiser"]

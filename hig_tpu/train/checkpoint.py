@@ -65,11 +65,21 @@ def restore_state(path: str, abstract_state) -> tuple[Any, int, int]:
     if want_ema and ema is None:
         # seed from params as a copy — aliased buffers break step donation
         ema = jax.tree_util.tree_map(jax.numpy.copy, restored["params"])
+    if not want_ema and ema is not None:
+        # Resuming WITHOUT --ema_decay from an EMA checkpoint: the train step
+        # would never update the restored EMA, yet eval_params() prefers it —
+        # all post-resume training would be silently shadowed by the frozen
+        # stale average at inference. Drop it (and say so) instead.
+        print(
+            "checkpoint has ema_params but this run has no --ema_decay; "
+            "discarding the stored EMA (evaluation will use live params)"
+        )
+        ema = None
     state = type(abstract_state)(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=jax.numpy.asarray(restored["step"]),
-        ema_params=ema if want_ema or has_ema else None,
+        ema_params=ema,
     )
     return state, int(restored["epoch"]), int(restored["total_it"])
 

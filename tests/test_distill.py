@@ -227,3 +227,58 @@ class TestDistillStep:
             assert np.isfinite(float(metrics["loss_distill"]))
         after, _ = loss_fn(state.params, teacher_params, batch, eval_key)
         assert float(after) < float(before)
+
+
+class TestDistillCfgTeacher:
+    def test_cond_drop_distills_the_null_branch(self, tmp_path):
+        """A CFG teacher (cond_drop_prob > 0) must have its NULL branch
+        distilled too: with the teacher's caption dropout applied inside the
+        distill loss, the student's null params receive gradient — otherwise
+        guided sampling of a distilled checkpoint would blend an un-distilled
+        unconditional eps (advisor r3 finding)."""
+        from hig_tpu.models.text_encoder import ClipTextConfig
+        from hig_tpu.train.trainer import Trainer
+
+        cfg = add_dataset_paths(ExperimentConfig(
+            name="distill_cfg", dataset_name="synthetic_mul",
+            data_root=str(tmp_path / "data"),
+            checkpoints_dir=str(tmp_path / "ckpt"),
+            num_layers=2, latent_dim=32, ff_size=64, num_heads=4,
+            num_text_layers=1, text_latent_dim=16, text_ff_size=32,
+            text_num_heads=2, diffusion_steps=50, batch_size=4,
+            window_size=24, label_path="x", cond_drop_prob=1.0,
+        ))
+        trainer = Trainer(cfg, clip_config=ClipTextConfig(width=32, heads=4, layers=2))
+        state = trainer.init_state()
+        leaves, treedef = jax.tree_util.tree_flatten(state.params)
+        keys = jax.random.split(jax.random.key(11), len(leaves))
+        teacher_params = jax.tree_util.tree_unflatten(treedef, [
+            leaf + 0.05 * jax.random.normal(k, leaf.shape, leaf.dtype)
+            if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
+            for leaf, k in zip(leaves, keys)
+        ])
+
+        grids = pd.distill_grids(50, 10)
+        loss_fn = pd.make_distill_loss(trainer.model, trainer.sched, grids)
+        rng = np.random.default_rng(5)
+        batch = {
+            "motion": jnp.asarray(rng.normal(size=(4, 2, 25, 263)), jnp.float32),
+            "lengths": jnp.asarray(rng.integers(10, 26, size=(4,)), jnp.int32),
+            "tokens": jnp.asarray(rng.integers(0, 100, size=(4, 2, 77)), jnp.int32),
+        }
+        # student starts AT the (perturbed) teacher — a fresh init's
+        # zero-init output heads would block gradient to everything upstream
+        student_params = jax.tree_util.tree_map(jnp.copy, teacher_params)
+        grads = jax.grad(
+            lambda p: loss_fn(p, teacher_params, batch, jax.random.key(0))[0]
+        )(student_params)
+        g_null = float(jnp.abs(grads["params"]["null_xf_token"]).sum()) + \
+            float(jnp.abs(grads["params"]["null_xf_proj"]).sum())
+        assert g_null > 0.0, "null conditioning params got no distill gradient"
+        # drop_prob 1.0 replaces ALL conditioning with the null branch, so
+        # the text towers must receive NO gradient through the loss
+        g_text = float(jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.abs(x).sum(),
+            grads["params"]["clip"], jnp.zeros(()),
+        )) if "clip" in grads["params"] else 0.0
+        assert g_text == 0.0

@@ -84,6 +84,44 @@ class TestPipelineParallel:
         shard_shapes = {s.data.shape for s in leaf.addressable_shards}
         assert shard_shapes == {(model.num_layers // S,) + leaves[0].shape[1:]}
 
+    @pytest.mark.parametrize("flag", ["causal", "rms_norm"])
+    def test_forwards_model_flags(self, flag, tmp_path):
+        """pipeline_denoise must rebuild the layer module with the model's
+        own causal/rms_norm (and use_pallas) flags — a --causal --pp_micro
+        run would otherwise silently pipeline NON-causal attention, and
+        --rms_norm would die on a param-tree mismatch."""
+        from hig_tpu.parallel import mesh as pmesh
+
+        cfg = tiny_cfg(str(tmp_path), cap_id=True,
+                       mesh=MeshConfig(data=4, model=2))
+        cfg.num_layers = 4
+        setattr(cfg, flag, True)
+        trainer = Trainer(cfg, clip_config=TINY_CLIP)
+        state = trainer.init_state()
+        model, params = trainer.model, state.params
+        assert getattr(model, flag) is True
+        B, T, D = 8, cfg.window_size + 1, cfg.dim_pose
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(B, 2, T, D), jnp.float32)
+        t = jnp.asarray(rng.randint(0, 100, (B,)), jnp.int32)
+        lengths = jnp.asarray([T, T - 3, 9, T, T, 12, T - 1, T], jnp.int32)
+        cond = jnp.asarray(rng.randint(0, 43, (B, 2)), jnp.int32)
+        xf_proj, xf_out = model.apply(
+            params, cond, True, method=InteractionModel.encode_text
+        )
+        ref = model.apply(
+            params, x, t, lengths, xf_proj, xf_out, True,
+            method=InteractionModel.denoise,
+        )
+        out = jax.jit(
+            lambda p, xx: pp.pipeline_denoise(
+                model, p, xx, t, lengths, xf_proj, xf_out,
+                trainer.mesh, n_micro=2,
+            )
+        )(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_rejects_indivisible(self, setup):
         trainer, model, params, args, _ = setup
         x, t, lengths, xf_proj, xf_out = args

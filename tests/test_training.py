@@ -616,6 +616,16 @@ class TestEMA:
             restored2.ema_params, restored2.params,
         )
 
+        # EMA checkpoint restored by a run WITHOUT --ema_decay: the stored
+        # EMA must be DROPPED — the no-EMA train step would never update it,
+        # and eval_params() preferring the frozen stale average would
+        # silently shadow all post-resume training at inference.
+        from hig_tpu.train.trainer import eval_params
+
+        restored3, _, _ = ckpt.restore_state(path, tr2.init_state())
+        assert restored3.ema_params is None
+        assert eval_params(restored3) is restored3.params
+
 
 class TestLRSchedule:
     """--lr_schedule / --warmup_steps: optional schedules (the reference
