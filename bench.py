@@ -107,9 +107,11 @@ def main():
 
     reps = 3
 
-    def time_sampler(model, B, sampler="ddpm", ddim_steps=50, params_=None):
+    def time_sampler(model, B, sampler="ddpm", ddim_steps=50, params_=None,
+                     **sampler_kw):
         tokens, lengths = make_inputs(B)
-        fn = make_sampler(model, sched, T, D, sampler=sampler, ddim_steps=ddim_steps)
+        fn = make_sampler(model, sched, T, D, sampler=sampler,
+                          ddim_steps=ddim_steps, **sampler_kw)
         p = params if params_ is None else params_
         _sync(fn(p, tokens, lengths, jax.random.key(0)))  # compile
         t0 = time.time()
@@ -151,6 +153,21 @@ def main():
         model_rms, 64, "ddim", params_=params_rms
     )
     del params_rms
+    # --guidance_scale 2 (classifier-free guidance): w != 1 evaluates the
+    # denoiser TWICE per step (conditional + null), so the quality lever's
+    # throughput price must be on record next to its quality evidence
+    # (results/cfg_run/). Needs a cond_drop_prob model (null params); the
+    # timing is weight-independent.
+    model_cfg = InteractionModel(dtype=jnp.bfloat16, cond_drop_prob=0.1)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params_cfg = jax.jit(
+            InteractionModel(cond_drop_prob=0.1).init, backend="cpu"
+        )(jax.random.key(0), x0, t0_, lengths64, tokens64)
+    params_cfg = jax.device_put(params_cfg, jax.devices()[0])
+    results["ddim50_cfg_w2_bf16_b64"], _ = time_sampler(
+        model_cfg, 64, "ddim", params_=params_cfg, guidance_scale=2.0
+    )
+    del params_cfg
 
     # --- reference-style host loop on the same chip (f32 — ref has no AMP) --
     # Measured BEFORE the large-batch child probes: B=256 kills the TPU
