@@ -20,6 +20,17 @@ order as the sequential stack, so outputs match the plain denoiser
 bitwise up to XLA fusion differences (pinned by tests/test_parallel_pp.py).
 Inference/serving path (dropout off); the efficient-attention stack with
 hoisted per-layer text-KV is required.
+
+Bubble cost (honest accounting): during the S-1 fill and S-1 drain ticks,
+stages that hold no valid microbatch still execute their layers on a
+clamped (stale) microbatch and discard the result — under SPMD every
+device must run the same program, so the classic GPipe bubble shows up
+here as wasted compute rather than idle time. Relative overhead is the
+standard (S-1)/(M+S-1); e.g. 2 stages x 2 microbatches wastes 1/3 of
+stage-compute, 2 x 8 wastes 1/9. Masking those ticks with lax.cond would
+not help: both branches of a cond are compiled and the schedule is
+data-independent, so the honest lever is more microbatches per step.
+Unmeasured on real multi-chip hardware (1-chip environment).
 """
 
 from __future__ import annotations
