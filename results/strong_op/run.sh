@@ -1,0 +1,68 @@
+#!/bin/bash
+# Stronger synthetic operating point (VERDICT r3 next #4): the round-3
+# quality tables all sit where generated Accuracy is exactly chance (1/26),
+# so four of the five metrics carry every parity claim. This run RESUMES the
+# eqrun3 teacher and its bf16 twin from epoch 30 to $EPOCHS (default 60),
+# re-runs the headline comparisons there (DDPM vs DDIM, bf16 twin, distill
+# endpoint), and reports whether generated Accuracy clears chance by a CI
+# margin — making the fifth metric a live axis (or an honest finding that
+# this model family needs more than epochs at this scale).
+#
+# Stages are opt-in flags so the 1-core CPU host can run pieces:
+#   run.sh train     # resume f32 teacher + bf16 twin to $EPOCHS
+#   run.sh eval      # five-metric: f32 ddpm, f32 ddim, bf16 ddim
+#   run.sh distill   # re-distill 25,13,7,4,2,1 from the 60-epoch teacher
+#   run.sh evald     # five-metric of the distilled endpoint (1-step)
+# Prereq: /tmp/eqrun3 (results/eqrun3_allfive/run.sh).
+set -e
+cd /root/repo
+ROOT=/tmp/eqrun3
+DATA=$ROOT/data
+CKPT=$ROOT/ckpt
+EPOCHS=${EPOCHS:-60}
+SMALL="--num_layers 4 --latent_dim 128 --ff_size 256 --num_heads 8 \
+ --num_text_layers 2 --text_latent_dim 64 --text_ff_size 128 --text_num_heads 4"
+EVAL="--eval_model_dir $CKPT/synthetic_mul/eval_model/model \
+ --consistency_model_dir $CKPT/synthetic_mul/consistency_eval_model/model \
+ --gen_T 91 --replication_times 3 --gen_batch 128"
+
+for STAGE in "$@"; do case $STAGE in
+train)
+  for NAME in eq_interaction eq_interaction_bf16; do
+    EXTRA=""; [ "$NAME" == "eq_interaction_bf16" ] && EXTRA="--compute_dtype bfloat16"
+    echo "=== resume $NAME -> $EPOCHS epochs ==="
+    python tools/train.py --name $NAME --dataset_name synthetic_mul \
+      --data_root $DATA --checkpoints_dir $CKPT \
+      --label_path $DATA/pseudo_labels.json $SMALL $EXTRA \
+      --batch_size 32 --times 4 --num_epochs $EPOCHS --log_every 10 \
+      --save_latest 1000 --eval_every_e 100 --is_continue
+  done ;;
+eval)
+  cd $ROOT
+  for S in ddpm ddim; do
+    python /root/repo/tools/evaluation.py \
+      --opt_path $CKPT/synthetic_mul/eq_interaction/opt.txt \
+      --sampler $S $EVAL --file_id _e${EPOCHS}_$S
+    cat $ROOT/result/eq_interaction/latest/summary_e${EPOCHS}_$S.json; echo
+  done
+  python /root/repo/tools/evaluation.py \
+    --opt_path $CKPT/synthetic_mul/eq_interaction_bf16/opt.txt \
+    --sampler ddim $EVAL --file_id _e${EPOCHS}_bf16_ddim
+  cat $ROOT/result/eq_interaction_bf16/latest/summary_e${EPOCHS}_bf16_ddim.json; echo
+  cd /root/repo ;;
+distill)
+  python tools/distill.py --opt_path $CKPT/synthetic_mul/eq_interaction/opt.txt \
+    --stages 25,13,7 --epochs_per_stage 4 --times 2 --lr 5e-5 --log_every 20
+  python tools/distill.py \
+    --opt_path $CKPT/synthetic_mul/eq_interaction_distill7/opt.txt \
+    --stages 4,2,1 --epochs_per_stage 4 --times 2 --lr 5e-5 --log_every 20 ;;
+evald)
+  cd $ROOT
+  python /root/repo/tools/evaluation.py \
+    --opt_path $CKPT/synthetic_mul/eq_interaction_distill7_distill1/opt.txt \
+    $EVAL --file_id _e${EPOCHS}_distill1
+  cat $ROOT/result/eq_interaction_distill7_distill1/latest/summary_e${EPOCHS}_distill1.json
+  cd /root/repo ;;
+*) echo "unknown stage $STAGE"; exit 1 ;;
+esac; done
+echo "=== done: $@ ==="
