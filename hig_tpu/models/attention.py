@@ -111,6 +111,15 @@ def _merged_qkv(xn, qkv_params, dtype):
     return jnp.split(qkv, 3, axis=-1)
 
 
+# Layout experiment (ROOFLINE.md "layout copies" slice): when True, the
+# K time-softmax's normalization is applied AFTER the T-contraction — the
+# big (..., T, H, dh) tensor is only exp'd, and the divide-by-z lands on
+# the small (..., H, dh, dh) state. Mathematically identical (z is
+# independent of n); float rounding differs slightly. Toggled by the
+# layout A/B harness, not a user flag.
+LAZY_KNORM = False
+
+
 def efficient_attention(
     query: jax.Array,
     key: jax.Array,
@@ -132,8 +141,15 @@ def efficient_attention(
     k = _split_heads(key, num_heads)
     v = _split_heads(value, num_heads)
     q = jax.nn.softmax(q, axis=-1)
-    k = jax.nn.softmax(k, axis=-3)  # over the time axis
-    attention = jnp.einsum("...nhd,...nhl->...hdl", k, v)
+    if LAZY_KNORM:
+        m = jax.lax.stop_gradient(jnp.max(k, axis=-3, keepdims=True))
+        e = jnp.exp(k - m)
+        attention = jnp.einsum("...nhd,...nhl->...hdl", e, v)
+        z = jnp.sum(e, axis=-3)  # (..., h, d)
+        attention = attention / z[..., None]
+    else:
+        kn = jax.nn.softmax(k, axis=-3)  # over the time axis
+        attention = jnp.einsum("...nhd,...nhl->...hdl", kn, v)
     y = jnp.einsum("...nhd,...hdl->...nhl", q, attention)
     return y.reshape(y.shape[:-2] + (D,))
 

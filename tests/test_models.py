@@ -389,3 +389,26 @@ class TestClipBPEMachinery:
             assert ids[0, 3] == T.EOT
         finally:
             T.default_tokenizer.cache_clear()
+
+
+class TestLazyKnorm:
+    def test_lazy_knorm_is_exact(self):
+        """The layout-experiment rewrite (normalize after the T-contraction,
+        attention.LAZY_KNORM) is the same math as the K time-softmax —
+        z is independent of the contracted axis, so dividing the contracted
+        state equals contracting the normalized tensor."""
+        from hig_tpu.models import attention as attn
+
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(3, 2, 17, 64), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 2, 17, 64), jnp.float32)
+        v = jnp.asarray(rng.randn(3, 2, 17, 64), jnp.float32)
+        mask = jnp.asarray(rng.rand(3, 2, 17) > 0.3, jnp.float32)
+        base = attn.efficient_attention(q, k, v, 4, mask)
+        try:
+            attn.LAZY_KNORM = True
+            lazy = attn.efficient_attention(q, k, v, 4, mask)
+        finally:
+            attn.LAZY_KNORM = False
+        np.testing.assert_allclose(np.asarray(lazy), np.asarray(base),
+                                   rtol=2e-5, atol=2e-6)

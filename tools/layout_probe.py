@@ -1,0 +1,109 @@
+"""Layout-copy A/B harness for the DDIM scan body (ROOFLINE.md 19% slice).
+
+The round-3 device trace attributed ~2.0 ms/step (19%) of the DDIM-50 step
+to f32 {2,3,1,0}<->{3,2,1,0} layout copies of (64,2,91,512) intermediates —
+XLA assigning T-minor layouts to the K time-softmax reductions and D-minor
+to everything else. This harness, run on the real chip:
+
+1. compiles the production DDIM-50 bf16 sampler and counts `copy`/
+   `transpose` ops (by shape) in the compiled HLO, and
+2. times baseline vs the LAZY_KNORM rewrite (attention.py — normalize
+   after the T-contraction, mathematically exact),
+
+printing one JSON line per variant so the winner (or the dead end) can be
+recorded in ROOFLINE.md with numbers.
+
+Usage:  python tools/layout_probe.py [--variant base|lazy] [--hlo]
+"""
+
+import argparse
+import collections
+import json
+import re
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import _common  # noqa: F401  (sys.path setup)
+
+
+def _sync(x) -> float:
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def build_sampler(B=64, T=91, D=263):
+    from hig_tpu.diffusion import gaussian as g
+    from hig_tpu.models.interaction_model import InteractionModel
+    from hig_tpu.models.tokenizer import tokenize
+    from hig_tpu.data.vocab import CLASSID2CAPS
+    from hig_tpu.train.trainer import make_sampler
+
+    model = InteractionModel(dtype=jnp.bfloat16)
+    sched = g.make_schedule(g.linear_betas(1000))
+    c1, c2 = CLASSID2CAPS[2]
+    pair = np.stack([tokenize(c1)[0], tokenize(c2)[0]])
+    tokens = jnp.asarray(np.stack([pair] * B), jnp.int32)
+    lengths = jnp.full((B,), T, jnp.int32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = jax.jit(InteractionModel().init, backend="cpu")(
+            jax.random.key(0),
+            jnp.zeros((1, 2, T, D), jnp.float32), jnp.zeros((1,), jnp.int32),
+            lengths[:1], tokens[:1],
+        )
+    params = jax.device_put(params, jax.devices()[0])
+    fn = make_sampler(model, sched, T, D, sampler="ddim")
+    return fn, params, tokens, lengths
+
+
+def copy_stats(fn, params, tokens, lengths):
+    """Count copy/transpose ops by operand shape in the compiled HLO."""
+    lowered = jax.jit(lambda p, c, l, r: fn(p, c, l, r)).lower(
+        params, tokens, lengths, jax.random.key(0)
+    )
+    txt = lowered.compile().as_text()
+    counts = collections.Counter()
+    for line in txt.splitlines():
+        m = re.search(r"=\s*(\S+)\[?.*?\]?\s+(copy|transpose)\(", line)
+        if m:
+            counts[f"{m.group(2)} {m.group(1)}"] += 1
+    return dict(counts.most_common(12)), txt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="base", choices=["base", "lazy"])
+    ap.add_argument("--hlo", action="store_true",
+                    help="dump compiled HLO to /tmp/layout_{variant}.hlo")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from hig_tpu.models import attention
+
+    attention.LAZY_KNORM = args.variant == "lazy"
+
+    fn, params, tokens, lengths = build_sampler()
+    B, T = tokens.shape[0], 91
+
+    stats = {}
+    if args.hlo:
+        stats, txt = copy_stats(fn, params, tokens, lengths)
+        open(f"/tmp/layout_{args.variant}.hlo", "w").write(txt)
+
+    _sync(fn(params, tokens, lengths, jax.random.key(0)))  # compile
+    t0 = time.time()
+    for i in range(args.reps):
+        _sync(fn(params, tokens, lengths, jax.random.key(i + 1)))
+    per_batch = (time.time() - t0) / args.reps
+    print(json.dumps({
+        "variant": args.variant,
+        "fps": round(B * 2 * (T - 1) / per_batch, 1),
+        "seconds_per_batch": round(per_batch, 4),
+        "copy_ops": stats,
+    }))
+
+
+if __name__ == "__main__":
+    main()
