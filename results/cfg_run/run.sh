@@ -1,16 +1,25 @@
 #!/bin/bash
-# Classifier-free-guidance quality evidence (VERDICT r3 next #3):
-# train a --cond_drop_prob 0.1 twin of the eqrun3 generator (identical
-# data/size/schedule), then sweep --guidance_scale w over the five-metric
-# eval. The reference's only guidance hook is the classifier cond_fn
-# (codes/models/gaussian_diffusion.py:567-604); CFG is a beat-the-reference
-# lever, so the claim needs a measured w-sweep, not just mechanics tests.
+# Classifier-free-guidance quality evidence (VERDICT r3 next #3).
 #
-# w order: informative points first (1 = unguided baseline, then the
-# standard 2-3 band, then the extremes) so a truncated run still tells the
-# story. Each w != 1 eval costs two denoiser calls per step.
+# Design: instead of training a 30-epoch CFG twin from scratch, WARM-START
+# from the trained eqrun3 generator with tools/add_cfg_branch.py (graft the
+# zero-init null branch onto eq_interaction@latest), finetune 10 epochs with
+# --cond_drop_prob 0.2 (epochs 30->40), then sweep --guidance_scale w over
+# the five-metric eval. This isolates the guidance effect from training-run
+# variance — the w=1 sampler starts exactly at the donor's optimum — and is
+# itself a framework feature the reference has no counterpart for (its only
+# guidance hook is the classifier cond_fn,
+# codes/models/gaussian_diffusion.py:567-604).
 #
-# Prereq: the eqrun3 world at /tmp/eqrun3 (results/eqrun3_allfive/run.sh).
+# The internal baseline for the sweep is the w=1 row (same weights, same
+# sampler); eq_interaction's summary_ddim.json is the pre-finetune anchor
+# (the finetuned model has 10 extra epochs — noted honestly).
+#
+# w order: informative points first (1 = unguided, then the standard 2-3
+# band, then extremes) so a truncated run still tells the story. Every
+# w != 1 eval pays two denoiser calls per step (bench row ddim50_cfg_w2).
+#
+# Prereq: /tmp/eqrun3 (results/eqrun3_allfive/run.sh).
 set -e
 cd /root/repo
 ROOT=/tmp/eqrun3
@@ -19,14 +28,19 @@ CKPT=$ROOT/ckpt
 SMALL="--num_layers 4 --latent_dim 128 --ff_size 256 --num_heads 8 \
  --num_text_layers 2 --text_latent_dim 64 --text_ff_size 128 --text_num_heads 4"
 
-if [ ! -d "$CKPT/synthetic_mul/eq_interaction_cfg/model/latest" ] || [ "$1" == "--train" ]; then
-  echo "=== stage 1: train CFG twin (cond_drop_prob 0.1) ==="
-  python tools/train.py --name eq_interaction_cfg --dataset_name synthetic_mul \
-    --data_root $DATA --checkpoints_dir $CKPT \
-    --label_path $DATA/pseudo_labels.json $SMALL --cond_drop_prob 0.1 \
-    --batch_size 32 --times 4 --num_epochs 30 --log_every 10 --save_latest 1000 \
-    --eval_every_e 100 ${RESUME:+--is_continue}
+if [ ! -d "$CKPT/synthetic_mul/eq_interaction_cfg/model/latest" ]; then
+  echo "=== stage 0: graft the null branch onto eq_interaction@latest ==="
+  python tools/add_cfg_branch.py \
+    --opt_path $CKPT/synthetic_mul/eq_interaction/opt.txt \
+    --name eq_interaction_cfg --cond_drop_prob 0.2
 fi
+
+echo "=== stage 1: finetune the null branch (epochs 30 -> 40, drop 0.2) ==="
+python tools/train.py --name eq_interaction_cfg --dataset_name synthetic_mul \
+  --data_root $DATA --checkpoints_dir $CKPT \
+  --label_path $DATA/pseudo_labels.json $SMALL --cond_drop_prob 0.2 \
+  --batch_size 32 --times 4 --num_epochs 40 --log_every 10 --save_latest 1000 \
+  --eval_every_e 100 --is_continue
 
 echo "=== stage 2: guidance-scale sweep, DDIM-50, five metrics ==="
 cd $ROOT
