@@ -184,6 +184,7 @@ def make_distill_loss(
     model,
     sched: g.DiffusionSchedule,
     grids: DistillGrids,
+    distill_w: float = 1.0,
 ) -> Callable:
     """loss_fn(student_params, teacher_params, batch, rng) -> (scalar, aux).
 
@@ -196,20 +197,40 @@ def make_distill_loss(
     Distillation runs on the final text-conditioned model — role labels are
     already resolved, so the PIT assignment axis never appears here.
 
-    A CFG teacher (``model.cond_drop_prob > 0``) has a live null-conditioning
-    branch that guided sampling queries every step; if distillation only ever
-    supervised the conditional branch, sampling the student with
-    ``--guidance_scale != 1`` would blend an UN-distilled unconditional eps
-    into the distilled conditional one. So the teacher's caption dropout is
-    applied here too — the same per-sample keep mask swaps in the null
-    conditioning for teacher and student together, distilling the null
-    branch on the same grid (same trick as train-time CFG dropout,
-    trainer.py::make_loss_fn).
+    CFG teachers (``model.cond_drop_prob > 0``) support two modes:
+
+    * ``distill_w == 1`` (default): the teacher's caption dropout is applied
+      here too — the same per-sample keep mask swaps in the null conditioning
+      for teacher and student together, distilling the conditional and null
+      branches independently on the same grid (same trick as train-time CFG
+      dropout, trainer.py::make_loss_fn). HONEST GAP: progressive
+      distillation's one-step==two-step guarantee then holds PER BRANCH, not
+      for the guided composite — the teacher's second half-step input depends
+      on its first half-step output, and under guided sampling that output is
+      the w-blend, so branchwise distillation approximates (not equals) the
+      guided trajectory. Sampling a branch-distilled student with
+      ``--guidance_scale != 1`` carries that approximation gap; quantify it
+      with the w-sweep eval (results/cfg_run) before relying on it.
+    * ``distill_w != 1`` (fixed-w guided distillation, the approach of the
+      guided-distillation literature, e.g. Meng et al. 2023): every teacher
+      eps is the guided blend ``eps_u + w*(eps_c - eps_u)`` — both half-steps
+      run the actual guided trajectory — and the student is supervised with
+      conditional conditioning only, INTERNALIZING the guidance. The student
+      must then be sampled with ``--guidance_scale 1`` (one denoiser call per
+      step: the w!=1 two-call price is distilled away). Requires a CFG
+      teacher.
     """
     from hig_tpu.models.interaction_model import InteractionModel
     from hig_tpu.train.trainer import per_token_loss
 
     cond_drop_prob = float(getattr(model, "cond_drop_prob", 0.0))
+    distill_w = float(distill_w)
+    if distill_w != 1.0 and cond_drop_prob <= 0.0:
+        raise ValueError(
+            f"distill_w={distill_w} needs a CFG teacher "
+            f"(model.cond_drop_prob > 0) — the guided blend queries the "
+            f"null branch"
+        )
 
     ts = jnp.asarray(grids.ts)
     ts_prev = jnp.asarray(grids.ts_prev)
@@ -246,6 +267,41 @@ def make_distill_loss(
 
         t_xf_proj, t_xf_out = enc(teacher_params, cond)
         s_xf_proj, s_xf_out = enc(student_params, cond)
+        if distill_w != 1.0:
+            # fixed-w guided distillation: the teacher runs the REAL guided
+            # trajectory (blended eps in both half-steps); the student sees
+            # conditional conditioning only and internalizes the guidance.
+            n_proj, n_out = model.apply(
+                teacher_params, B, t_xf_out.shape[2],
+                method=InteractionModel.null_conditioning,
+            )
+            n_proj = n_proj.astype(t_xf_proj.dtype)
+            n_out = n_out.astype(t_xf_out.dtype)
+
+            def teacher(x, tt):
+                eps_c = model.apply(
+                    teacher_params, x, tt, lengths, t_xf_proj, t_xf_out, True,
+                    method=InteractionModel.denoise,
+                )
+                eps_u = model.apply(
+                    teacher_params, x, tt, lengths, n_proj, n_out, True,
+                    method=InteractionModel.denoise,
+                )
+                return eps_u + distill_w * (eps_c - eps_u)
+
+            x0_target, weight = distill_targets(
+                sched, teacher, x_t, t, t_mid, t_prev
+            )
+
+            eps_hat = model.apply(
+                student_params, x_t, t, lengths, s_xf_proj, s_xf_out, True,
+                method=InteractionModel.denoise,
+            )
+            x0_hat = g.predict_xstart_from_eps(sched, x_t, t, eps_hat)
+            per_tok = per_token_loss(x0_hat, x0_target) * mask[:, None, :]
+            per_sample = jnp.sum(per_tok, axis=(1, 2))  # (B,)
+            loss = jnp.sum(per_sample * weight) / (2.0 * jnp.sum(mask))
+            return loss, {"t": t, "per_sample": per_sample}
         if cond_drop_prob > 0.0:
             keep = jax.random.bernoulli(
                 jax.random.fold_in(rng, 7), 1.0 - cond_drop_prob, (B,)
@@ -288,7 +344,8 @@ def make_distill_loss(
     return loss_fn
 
 
-def make_distill_step(model, sched: g.DiffusionSchedule, tx, grids: DistillGrids):
+def make_distill_step(model, sched: g.DiffusionSchedule, tx, grids: DistillGrids,
+                      distill_w: float = 1.0):
     """step(state, teacher_params, batch, rng) -> (state, metrics); jittable.
     Same TrainState/optimizer plumbing as the diffusion train step (EMA,
     grad-norm) so distilled checkpoints are drop-in for the eval tools."""
@@ -296,7 +353,7 @@ def make_distill_step(model, sched: g.DiffusionSchedule, tx, grids: DistillGrids
 
     from hig_tpu.train.trainer import TrainState
 
-    loss_fn = make_distill_loss(model, sched, grids)
+    loss_fn = make_distill_loss(model, sched, grids, distill_w=distill_w)
 
     def step(state: TrainState, teacher_params, batch, rng):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(

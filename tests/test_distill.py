@@ -282,3 +282,75 @@ class TestDistillCfgTeacher:
             grads["params"]["clip"], jnp.zeros(()),
         )) if "clip" in grads["params"] else 0.0
         assert g_text == 0.0
+
+    def test_fixed_w_guided_distillation(self, tmp_path):
+        """distill_w != 1 (guided distillation, Meng et al. 2023 style): the
+        teacher target is the guided blend at fixed w and the student is
+        supervised under CONDITIONAL conditioning only — so the student's
+        null params must receive NO gradient (guidance is internalized, the
+        w=1 single-call sampler is the intended inference path), the loss is
+        finite and positive when the branches differ, and a non-CFG teacher
+        is refused."""
+        from hig_tpu.models.text_encoder import ClipTextConfig
+        from hig_tpu.train.trainer import Trainer
+
+        cfg = add_dataset_paths(ExperimentConfig(
+            name="distill_wcfg", dataset_name="synthetic_mul",
+            data_root=str(tmp_path / "data"),
+            checkpoints_dir=str(tmp_path / "ckpt"),
+            num_layers=2, latent_dim=32, ff_size=64, num_heads=4,
+            num_text_layers=1, text_latent_dim=16, text_ff_size=32,
+            text_num_heads=2, diffusion_steps=50, batch_size=4,
+            window_size=24, label_path="x", cond_drop_prob=0.2,
+        ))
+        trainer = Trainer(cfg, clip_config=ClipTextConfig(width=32, heads=4, layers=2))
+        state = trainer.init_state()
+        leaves, treedef = jax.tree_util.tree_flatten(state.params)
+        keys = jax.random.split(jax.random.key(13), len(leaves))
+        teacher_params = jax.tree_util.tree_unflatten(treedef, [
+            leaf + 0.05 * jax.random.normal(k, leaf.shape, leaf.dtype)
+            if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
+            for leaf, k in zip(leaves, keys)
+        ])
+
+        grids = pd.distill_grids(50, 10)
+        loss_fn = pd.make_distill_loss(
+            trainer.model, trainer.sched, grids, distill_w=2.0
+        )
+        rng = np.random.default_rng(9)
+        batch = {
+            "motion": jnp.asarray(rng.normal(size=(4, 2, 25, 263)), jnp.float32),
+            "lengths": jnp.asarray(rng.integers(10, 26, size=(4,)), jnp.int32),
+            "tokens": jnp.asarray(rng.integers(0, 100, size=(4, 2, 77)), jnp.int32),
+        }
+        student_params = jax.tree_util.tree_map(jnp.copy, teacher_params)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, teacher_params, batch, jax.random.key(0)),
+            has_aux=True,
+        )(student_params)
+        # the student starts AT the teacher, so its conditional one-step
+        # prediction != the teacher's guided two-step composite -> loss > 0
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        g_null = float(jnp.abs(grads["params"]["null_xf_token"]).sum()) + \
+            float(jnp.abs(grads["params"]["null_xf_proj"]).sum())
+        assert g_null == 0.0, \
+            "guided distillation must not touch the student's null branch"
+        g_total = float(jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.abs(x).sum(), grads["params"], jnp.zeros(())
+        ))
+        assert g_total > 0.0, "no gradient reached the student at all"
+
+        # a non-CFG teacher has no null branch to blend with
+        cfg0 = add_dataset_paths(ExperimentConfig(
+            name="distill_w0", dataset_name="synthetic_mul",
+            data_root=str(tmp_path / "data"),
+            checkpoints_dir=str(tmp_path / "ckpt"),
+            num_layers=2, latent_dim=32, ff_size=64, num_heads=4,
+            num_text_layers=1, text_latent_dim=16, text_ff_size=32,
+            text_num_heads=2, diffusion_steps=50, batch_size=4,
+            window_size=24, label_path="x",
+        ))
+        trainer0 = Trainer(cfg0, clip_config=ClipTextConfig(width=32, heads=4, layers=2))
+        with pytest.raises(ValueError, match="distill_w"):
+            pd.make_distill_loss(trainer0.model, trainer0.sched, grids,
+                                 distill_w=2.0)

@@ -8,6 +8,17 @@ from os.path import join as pjoin
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# This environment's site hook imports jax at interpreter startup, so the
+# JAX_PLATFORMS env var is read before a tool's shell can matter — but the
+# config knob still works any time before first backend use (same mechanism
+# as tests/conftest.py). Honor the env var here so `JAX_PLATFORMS=cpu
+# python tools/train.py ...` reliably pins the platform even when the axon
+# (TPU tunnel) plugin registers but hangs on init.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 

@@ -27,6 +27,7 @@ import shutil
 from os.path import join as pjoin
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from _common import restore_trainer_state  # noqa: E402  (sys.path)
@@ -66,34 +67,50 @@ def main():
     trainer_new = Trainer(cfg_new)
     state_new = trainer_new.init_state()
 
-    # graft: every donor leaf lands in the new tree by path; the only new
-    # leaves are the zero-init null params (so w=1 sampling of the grafted
-    # checkpoint is EXACTLY the donor — null params are unreachable there)
-    flat_donor = dict(jax.tree_util.tree_flatten_with_path(donor_params)[0])
-    flat_new, treedef = jax.tree_util.tree_flatten_with_path(state_new.params)
-    grafted, added = [], []
-    for path, leaf in flat_new:
-        if path in flat_donor:
-            d = flat_donor.pop(path)
-            if d.shape != leaf.shape:
-                raise SystemExit(f"shape mismatch at {path}: {d.shape} vs {leaf.shape}")
-            grafted.append(d)
+    def graft_tree(donor_tree, new_tree):
+        # graft: every donor leaf lands in the new tree by path; the only
+        # new leaves are the zero-init null params (so w=1 sampling of the
+        # grafted checkpoint is EXACTLY the donor — null params are
+        # unreachable there)
+        flat_donor = dict(jax.tree_util.tree_flatten_with_path(donor_tree)[0])
+        flat_new = jax.tree_util.tree_flatten_with_path(new_tree)[0]
+        grafted, added = [], []
+        for path, leaf in flat_new:
+            if path in flat_donor:
+                d = flat_donor.pop(path)
+                if d.shape != leaf.shape:
+                    raise SystemExit(
+                        f"shape mismatch at {path}: {d.shape} vs {leaf.shape}")
+                grafted.append(d)
+            else:
+                added.append(jax.tree_util.keystr(path))
+                grafted.append(leaf)
+        if flat_donor:
+            raise SystemExit(f"donor leaves not consumed: {list(flat_donor)[:4]}")
+        expected = {"['params']['null_xf_proj']", "['params']['null_xf_token']"}
+        if set(added) != expected:
+            raise SystemExit(f"unexpected new leaves: {added}")
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(new_tree), grafted
+        ), added
+
+    params, added = graft_tree(donor_params, state_new.params)
+
+    # EMA: init_state() seeds ema_params from the FRESH RANDOM init, which
+    # would silently corrupt eval_params() (it prefers EMA). Seed from the
+    # donor's trained EMA when it has one, else from the grafted params.
+    if getattr(cfg_new, "ema_decay", 0.0) > 0:
+        if getattr(state, "ema_params", None) is not None:
+            ema_out, _ = graft_tree(state.ema_params, state_new.params)
         else:
-            added.append(jax.tree_util.keystr(path))
-            grafted.append(leaf)
-    if flat_donor:
-        raise SystemExit(f"donor leaves not consumed: {list(flat_donor)[:4]}")
-    expected = {"['params']['null_xf_proj']", "['params']['null_xf_token']"}
-    if set(added) != expected:
-        raise SystemExit(f"unexpected new leaves: {added}")
-    params = jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(state_new.params), grafted
-    )
+            ema_out = jax.tree_util.tree_map(jnp.copy, params)
+    else:
+        ema_out = None
 
     state_out = TrainState(
         params=params, opt_state=trainer_new.tx.init(params),
         step=state.step,
-        ema_params=state_new.ema_params,
+        ema_params=ema_out,
     )
     os.makedirs(cfg_new.model_dir, exist_ok=True)
     os.makedirs(cfg_new.meta_dir, exist_ok=True)
@@ -104,7 +121,8 @@ def main():
     save_opt_txt(cfg_new, pjoin(cfg_new.save_root, "opt.txt"))
     ckpt.save_state(pjoin(cfg_new.model_dir, "latest"), state_out,
                     epoch=epoch, total_it=it)
-    print(f"grafted {len(grafted) - len(added)} leaves from "
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+    print(f"grafted {n_leaves - len(added)} leaves from "
           f"{cfg.name}@{args.model_name} (epoch {epoch}, it {it}); "
           f"added {sorted(added)}")
     print(f"new experiment: {cfg_new.save_root} — finetune with "

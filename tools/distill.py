@@ -54,6 +54,12 @@ def main():
     parser.add_argument("--times", type=int, default=1,
                         help="epoch inflation for the distillation data pass")
     parser.add_argument("--log_every", type=int, default=None)
+    parser.add_argument("--distill_w", type=float, default=1.0,
+                        help="fixed-w guided distillation (CFG teacher only): "
+                             "the teacher target is the guided blend "
+                             "eps_u + w*(eps_c - eps_u); the student "
+                             "internalizes the guidance and is sampled at "
+                             "w=1 (one denoiser call per step)")
     args = parser.parse_args()
 
     cfg = load_opt_txt(args.opt_path, is_train=True)
@@ -106,7 +112,8 @@ def main():
         )
         state = trainer.place_state(state)
         step_fn = jax.jit(
-            pd.make_distill_step(model, sched, trainer.tx, grids),
+            pd.make_distill_step(model, sched, trainer.tx, grids,
+                                 distill_w=args.distill_w),
             donate_argnums=(0,),
         )
         print(f"=== stage {stage_idx}: teacher DDIM-{prev_steps} -> "
@@ -117,6 +124,10 @@ def main():
             cfg, name=f"{cfg.name}_distill{n_steps}",
             sampler="ddim", ddim_steps=n_steps,
         )
+        if args.distill_w != 1.0:
+            # the student internalized w; its checkpoint samples UNGUIDED
+            # (one denoiser call per step) — pin that in its opt.txt
+            stage_cfg = dataclasses.replace(stage_cfg, guidance_scale=1.0)
         metrics_path = pjoin(stage_cfg.save_root, "metrics.jsonl")
         os.makedirs(stage_cfg.model_dir, exist_ok=True)
         os.makedirs(stage_cfg.meta_dir, exist_ok=True)

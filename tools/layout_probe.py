@@ -34,42 +34,64 @@ def _sync(x) -> float:
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))
 
 
-def build_sampler(B=64, T=91, D=263):
+def build_sampler(B=64, T=91, D=263, tiny=False, ddim_steps=50):
     from hig_tpu.diffusion import gaussian as g
     from hig_tpu.models.interaction_model import InteractionModel
+    from hig_tpu.models.text_encoder import ClipTextConfig
     from hig_tpu.models.tokenizer import tokenize
     from hig_tpu.data.vocab import CLASSID2CAPS
     from hig_tpu.train.trainer import make_sampler
 
-    model = InteractionModel(dtype=jnp.bfloat16)
+    if tiny:
+        # CPU-runnable smoke configuration: proves the harness + HLO regex
+        # work without the real chip (the production numbers still need TPU)
+        model = InteractionModel(
+            num_layers=2, latent_dim=32, ff_size=64, num_heads=4,
+            num_text_layers=1, text_latent_dim=16, text_ff_size=32,
+            text_num_heads=2,
+            clip_config=ClipTextConfig(width=32, heads=4, layers=2),
+            dtype=jnp.bfloat16,
+        )
+    else:
+        model = InteractionModel(dtype=jnp.bfloat16)
     sched = g.make_schedule(g.linear_betas(1000))
     c1, c2 = CLASSID2CAPS[2]
     pair = np.stack([tokenize(c1)[0], tokenize(c2)[0]])
     tokens = jnp.asarray(np.stack([pair] * B), jnp.int32)
     lengths = jnp.full((B,), T, jnp.int32)
+    # init params from the SAME model config (fp32 param init on host; the
+    # sampler casts to the compute dtype once up front)
     with jax.default_device(jax.devices("cpu")[0]):
-        params = jax.jit(InteractionModel().init, backend="cpu")(
+        params = jax.jit(model.init, backend="cpu")(
             jax.random.key(0),
             jnp.zeros((1, 2, T, D), jnp.float32), jnp.zeros((1,), jnp.int32),
             lengths[:1], tokens[:1],
         )
     params = jax.device_put(params, jax.devices()[0])
-    fn = make_sampler(model, sched, T, D, sampler="ddim")
+    fn = make_sampler(model, sched, T, D, sampler="ddim",
+                      ddim_steps=ddim_steps)
     return fn, params, tokens, lengths
 
 
+def count_copy_ops(hlo_text: str) -> dict:
+    """Histogram `copy`/`transpose` ops by result shape in HLO text (the
+    {…} layout-assignment suffix is stripped so keys aggregate per shape)."""
+    counts = collections.Counter()
+    for line in hlo_text.splitlines():
+        m = re.search(r"=\s*(\S+)\s+(copy|transpose)\(", line)
+        if m:
+            shape = re.sub(r"\{[^}]*\}$", "", m.group(1))
+            counts[f"{m.group(2)} {shape}"] += 1
+    return dict(counts.most_common(12))
+
+
 def copy_stats(fn, params, tokens, lengths):
-    """Count copy/transpose ops by operand shape in the compiled HLO."""
+    """Count copy/transpose ops by result shape in the compiled HLO."""
     lowered = jax.jit(lambda p, c, l, r: fn(p, c, l, r)).lower(
         params, tokens, lengths, jax.random.key(0)
     )
     txt = lowered.compile().as_text()
-    counts = collections.Counter()
-    for line in txt.splitlines():
-        m = re.search(r"=\s*(\S+)\[?.*?\]?\s+(copy|transpose)\(", line)
-        if m:
-            counts[f"{m.group(2)} {m.group(1)}"] += 1
-    return dict(counts.most_common(12)), txt
+    return count_copy_ops(txt), txt
 
 
 def main():
@@ -78,14 +100,22 @@ def main():
     ap.add_argument("--hlo", action="store_true",
                     help="dump compiled HLO to /tmp/layout_{variant}.hlo")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--tiny", action="store_true",
+                    help="2-layer d=32 model, B=2 T=25 DDIM-4 — CPU-backend "
+                         "smoke of the harness itself, not a perf probe")
     args = ap.parse_args()
 
     from hig_tpu.models import attention
 
     attention.LAZY_KNORM = args.variant == "lazy"
 
-    fn, params, tokens, lengths = build_sampler()
-    B, T = tokens.shape[0], 91
+    if args.tiny:
+        B, T = 2, 25
+        fn, params, tokens, lengths = build_sampler(
+            B=B, T=T, tiny=True, ddim_steps=4)
+    else:
+        B, T = 64, 91
+        fn, params, tokens, lengths = build_sampler(B=B, T=T)
 
     stats = {}
     if args.hlo:
