@@ -55,4 +55,27 @@ for W in 1 2 3 1.5 5 7.5; do
     --gen_batch 128 --file_id _cfg_w$TAG
   cat $ROOT/result/eq_interaction_cfg/latest/summary_cfg_w$TAG.json; echo
 done
+
+# stage 3 (optional, DISTILL_W=<w> to enable): fixed-w guided distillation —
+# distill the guided trajectory at the sweep's winning w into a student that
+# samples UNGUIDED (one denoiser call/step; tools/distill.py --distill_w),
+# then eval the student at w=1 against the teacher's w=$DISTILL_W row. This
+# also quantifies the branchwise-vs-guided distillation gap (advisor r4 low,
+# diffusion/distill.py docstring).
+if [ -n "${DISTILL_W:-}" ]; then
+  echo "=== stage 3: guided distillation at w=$DISTILL_W (50 -> 25) ==="
+  cd /root/repo
+  python tools/distill.py \
+    --opt_path $CKPT/synthetic_mul/eq_interaction_cfg/opt.txt \
+    --stages 25 --epochs_per_stage 4 --times 2 --lr 5e-5 --log_every 20 \
+    --distill_w $DISTILL_W
+  cd $ROOT
+  python /root/repo/tools/evaluation.py \
+    --opt_path $CKPT/synthetic_mul/eq_interaction_cfg_distill25/opt.txt \
+    --eval_model_dir $CKPT/synthetic_mul/eval_model/model \
+    --consistency_model_dir $CKPT/synthetic_mul/consistency_eval_model/model \
+    --gen_T 91 --replication_times 3 --gen_batch 128 \
+    --file_id _cfgdistill25
+  cat $ROOT/result/eq_interaction_cfg_distill25/latest/summary_cfgdistill25.json; echo
+fi
 echo "=== done ==="

@@ -28,7 +28,9 @@ EVAL="--eval_model_dir $CKPT/synthetic_mul/eval_model/model \
 
 for STAGE in "$@"; do case $STAGE in
 train)
-  for NAME in eq_interaction eq_interaction_bf16; do
+  # MODELS env var restricts which twins resume (1-core host: the bf16 twin
+  # doubles the train stage; the accuracy question is answered by f32 alone)
+  for NAME in ${MODELS:-eq_interaction eq_interaction_bf16}; do
     EXTRA=""; [ "$NAME" == "eq_interaction_bf16" ] && EXTRA="--compute_dtype bfloat16"
     echo "=== resume $NAME -> $EPOCHS epochs ==="
     python tools/train.py --name $NAME --dataset_name synthetic_mul \
@@ -45,10 +47,12 @@ eval)
       --sampler $S $EVAL --file_id _e${EPOCHS}_$S
     cat $ROOT/result/eq_interaction/latest/summary_e${EPOCHS}_$S.json; echo
   done
-  python /root/repo/tools/evaluation.py \
-    --opt_path $CKPT/synthetic_mul/eq_interaction_bf16/opt.txt \
-    --sampler ddim $EVAL --file_id _e${EPOCHS}_bf16_ddim
-  cat $ROOT/result/eq_interaction_bf16/latest/summary_e${EPOCHS}_bf16_ddim.json; echo
+  if [[ "${MODELS:-eq_interaction eq_interaction_bf16}" == *bf16* ]]; then
+    python /root/repo/tools/evaluation.py \
+      --opt_path $CKPT/synthetic_mul/eq_interaction_bf16/opt.txt \
+      --sampler ddim $EVAL --file_id _e${EPOCHS}_bf16_ddim
+    cat $ROOT/result/eq_interaction_bf16/latest/summary_e${EPOCHS}_bf16_ddim.json; echo
+  fi
   cd /root/repo ;;
 distill)
   python tools/distill.py --opt_path $CKPT/synthetic_mul/eq_interaction/opt.txt \
