@@ -35,7 +35,7 @@ def _sync(x) -> float:
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))
 
 
-def _tpu_alive(timeout_s: int = 240) -> bool:
+def _tpu_alive(timeout_s: int = 480) -> bool:
     """Probe device usability in a CHILD process with a hard timeout.
 
     Late round 3 the tunnel went fully down: device use (and sometimes the
@@ -68,7 +68,7 @@ def main():
             "unit": "frames/sec/chip",
             "vs_baseline": 0.0,
             "error": "TPU unusable: device probe did not complete within "
-                     "240s (tunnel down or worker dead) — no measurement "
+                     "480s (tunnel down or worker dead) — no measurement "
                      "possible this run; see prior BENCH_r*.json for the "
                      "last good numbers",
         }))

@@ -52,7 +52,7 @@ for W in 1 2 3 1.5 5 7.5; do
     --eval_model_dir $CKPT/synthetic_mul/eval_model/model \
     --consistency_model_dir $CKPT/synthetic_mul/consistency_eval_model/model \
     --sampler ddim --guidance_scale $W --gen_T 91 --replication_times 3 \
-    --gen_batch 128 --file_id _cfg_w$TAG
+    --gen_batch ${GEN_BATCH:-128} --file_id _cfg_w$TAG
   cat $ROOT/result/eq_interaction_cfg/latest/summary_cfg_w$TAG.json; echo
 done
 
@@ -74,7 +74,7 @@ if [ -n "${DISTILL_W:-}" ]; then
     --opt_path $CKPT/synthetic_mul/eq_interaction_cfg_distill25/opt.txt \
     --eval_model_dir $CKPT/synthetic_mul/eval_model/model \
     --consistency_model_dir $CKPT/synthetic_mul/consistency_eval_model/model \
-    --gen_T 91 --replication_times 3 --gen_batch 128 \
+    --gen_T 91 --replication_times 3 --gen_batch ${GEN_BATCH:-128} \
     --file_id _cfgdistill25
   cat $ROOT/result/eq_interaction_cfg_distill25/latest/summary_cfgdistill25.json; echo
 fi

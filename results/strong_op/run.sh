@@ -24,7 +24,7 @@ SMALL="--num_layers 4 --latent_dim 128 --ff_size 256 --num_heads 8 \
  --num_text_layers 2 --text_latent_dim 64 --text_ff_size 128 --text_num_heads 4"
 EVAL="--eval_model_dir $CKPT/synthetic_mul/eval_model/model \
  --consistency_model_dir $CKPT/synthetic_mul/consistency_eval_model/model \
- --gen_T 91 --replication_times 3 --gen_batch 128"
+ --gen_T 91 --replication_times 3 --gen_batch ${GEN_BATCH:-128}"
 
 for STAGE in "$@"; do case $STAGE in
 train)
