@@ -60,13 +60,20 @@ def build_sampler(B=64, T=91, D=263, tiny=False, ddim_steps=50):
     tokens = jnp.asarray(np.stack([pair] * B), jnp.int32)
     lengths = jnp.full((B,), T, jnp.int32)
     # init params from the SAME model config (fp32 param init on host; the
-    # sampler casts to the compute dtype once up front)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = jax.jit(model.init, backend="cpu")(
-            jax.random.key(0),
-            jnp.zeros((1, 2, T, D), jnp.float32), jnp.zeros((1,), jnp.int32),
-            lengths[:1], tokens[:1],
-        )
+    # sampler casts to the compute dtype once up front). Under the axon
+    # plugin the host "cpu" backend sometimes fails to register (observed
+    # round 5: bench.py's identical call worked minutes earlier in another
+    # process) — fall back to initializing on the default device.
+    init_args = (
+        jax.random.key(0),
+        jnp.zeros((1, 2, T, D), jnp.float32), jnp.zeros((1,), jnp.int32),
+        lengths[:1], tokens[:1],
+    )
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = jax.jit(model.init, backend="cpu")(*init_args)
+    except RuntimeError:
+        params = jax.jit(model.init)(*init_args)
     params = jax.device_put(params, jax.devices()[0])
     fn = make_sampler(model, sched, T, D, sampler="ddim",
                       ddim_steps=ddim_steps)
