@@ -35,12 +35,14 @@ if [ ! -d "$CKPT/synthetic_mul/eq_interaction_cfg/model/latest" ]; then
     --name eq_interaction_cfg --cond_drop_prob 0.2
 fi
 
-echo "=== stage 1: finetune the null branch (epochs 30 -> 40, drop 0.2) ==="
+echo "=== stage 1: finetune the null branch (+10 epochs past the donor, drop 0.2) ==="
+# FT_EPOCHS = donor epoch + 10; round-3 world donors sit at 30 (default 40),
+# the round-5 TPU rebuild trains the donor to 60 (pass FT_EPOCHS=70)
 python tools/train.py --name eq_interaction_cfg --dataset_name synthetic_mul \
   --data_root $DATA --checkpoints_dir $CKPT \
   --label_path $DATA/pseudo_labels.json $SMALL --cond_drop_prob 0.2 \
-  --batch_size 32 --times 4 --num_epochs 40 --log_every 10 --save_latest 1000 \
-  --eval_every_e 100 --is_continue
+  --batch_size 32 --times 4 --num_epochs ${FT_EPOCHS:-40} --log_every 10 \
+  --save_latest 1000 --eval_every_e 100 --is_continue
 
 echo "=== stage 2: guidance-scale sweep, DDIM-50, five metrics ==="
 cd $ROOT
