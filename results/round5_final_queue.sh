@@ -33,12 +33,23 @@ for D in eq_interaction/model/latest eval_model/model consistency_eval_model/mod
   [ -e "$CKPT/synthetic_mul/$D" ] || { echo "MISSING $D — aborting"; exit 1; }
 done
 
-echo "=== 1. strong_op eval (f32, e60, ddpm+ddim) $(date) ==="
-EPOCHS=60 GEN_BATCH=128 MODELS=eq_interaction \
+# The donor may have been stopped short of 60 if the round clock demanded it
+# (save_latest=1000 keeps `latest` ≤ ~6 epochs stale); label evals and set
+# the finetune target from the epoch actually reached.
+DONOR_E=$(python - <<'EOF'
+import json
+line = open('/tmp/eqrun3/ckpt/synthetic_mul/eq_interaction/metrics.jsonl').readlines()[-1]
+print(json.loads(line)['epoch'] + 1)
+EOF
+)
+echo "donor trained to epoch $DONOR_E"
+
+echo "=== 1. strong_op eval (f32, e$DONOR_E, ddpm+ddim) $(date) ==="
+EPOCHS=$DONOR_E GEN_BATCH=128 MODELS=eq_interaction \
   bash results/strong_op/run.sh eval 2>&1 | tee /tmp/strong_op_eval.log
 
-echo "=== 2. cfg_run (graft -> finetune 70 -> w-sweep) $(date) ==="
-FT_EPOCHS=70 GEN_BATCH=64 \
+echo "=== 2. cfg_run (graft -> finetune +10 -> w-sweep) $(date) ==="
+FT_EPOCHS=$((DONOR_E + 10)) GEN_BATCH=64 \
   bash results/cfg_run/run.sh 2>&1 | tee /tmp/cfg_run.log
 
 echo "=== 3. reduced full-size ladder (50->25 off the 1-epoch teacher) $(date) ==="
