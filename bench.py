@@ -156,6 +156,15 @@ def main():
     results["ddim50_rms_bf16_b64"], _ = time_sampler(
         model_rms, 64, "ddim", params_=params_rms
     )
+    # Both latency-wall levers stacked (RMSNorm halves each norm's reduction
+    # work, fast_ln keeps the stats in bf16). Individually quality-validated
+    # (results/rms_run/, NOTES.md fast_ln eval); the combined point is a
+    # throughput probe for the recommended serving config.
+    model_rms_fastln = InteractionModel(dtype=jnp.bfloat16, rms_norm=True,
+                                        fast_ln=True)
+    results["ddim50_rms_fastln_bf16_b64"], _ = time_sampler(
+        model_rms_fastln, 64, "ddim", params_=params_rms
+    )
     del params_rms
     # --guidance_scale 2 (classifier-free guidance): w != 1 evaluates the
     # denoiser TWICE per step (conditional + null), so the quality lever's
