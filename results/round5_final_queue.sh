@@ -125,11 +125,16 @@ wait $B; echo "cfg finetune done $(date -u)"
 ) 2>&1 | tee /tmp/cfg_sweep.log
 
 # --- 4. reduced full-size ladder, clock-gated ----------------------------
-if [ $(date +%s) -lt $((HARD_END - 900)) ]; then
+# (skipped when the mid-round opportunistic run already produced it: the
+# ladder was launched concurrently with the tail of the donor training at
+# batch_size 32 — B=128 full-size distill approaches the worker-kill zone)
+if [ -d "$CKPT/synthetic_mul/fullstep_float32_distill25/model" ]; then
+  echo "full-size ladder already ran (fullstep_float32_distill25 exists)"
+elif [ $(date +%s) -lt $((HARD_END - 900)) ]; then
   echo "=== reduced full-size ladder: distill 50->25 off fullstep_float32 $(date -u) ==="
   python tools/distill.py --opt_path $CKPT/synthetic_mul/fullstep_float32/opt.txt \
-    --stages 25 --epochs_per_stage 2 --times 2 --lr 5e-5 --log_every 10 \
-    2>&1 | tee /tmp/fullsize_distill.log
+    --stages 25 --epochs_per_stage 2 --times 2 --batch_size 32 --lr 5e-5 \
+    --log_every 10 2>&1 | tee /tmp/fullsize_distill.log
 else
   echo "clock: skipping full-size ladder"
 fi
