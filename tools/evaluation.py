@@ -124,6 +124,10 @@ def main():
                              "metrics without paying the sampling cost")
     args = parser.parse_args()
 
+    from hig_tpu.utils.cache import enable as enable_cache
+
+    enable_cache()  # evals run as many short processes — share compiles
+
     cfg = load_opt_txt(args.opt_path, is_train=False)
     if args.sampler:
         cfg.sampler = args.sampler

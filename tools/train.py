@@ -34,6 +34,10 @@ def main():
     args = parser.parse_args()
     cfg = config_from_args(args, is_train=True)
 
+    from hig_tpu.utils.cache import enable as enable_cache
+
+    enable_cache()  # resumes/twins re-pay identical step compiles otherwise
+
     if cfg.distributed:
         # multi-host entry: TPU pods autodetect; explicit setups use
         # HIG_COORDINATOR / HIG_NUM_PROCESSES / HIG_PROCESS_ID
