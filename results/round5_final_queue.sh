@@ -65,13 +65,21 @@ for D in eq_interaction/model/latest eval_model/model consistency_eval_model/mod
   [ -e "$CKPT/synthetic_mul/$D" ] || { echo "MISSING $D — aborting"; exit 1; }
 done
 
+# Label from the RESTORABLE state: `latest` is written every 1000 its, so
+# when the trainer was deadline-killed the checkpoint trails the last
+# metrics line by up to 999 its. its/epoch = 1404 clips x times 4 / B=32.
 DONOR_E=$(python - <<'EOF'
 import json
 line = open('/tmp/eqrun3/ckpt/synthetic_mul/eq_interaction/metrics.jsonl').readlines()[-1]
-print(json.loads(line)['epoch'] + 1)
+it = json.loads(line)['it']
+per_epoch = 1404 * 4 / 32
+if it >= 60 * per_epoch - 20:          # ran to natural completion
+    print(60)
+else:
+    print(int(it // 1000 * 1000 / per_epoch) + 1)
 EOF
 )
-echo "donor trained to epoch ~$DONOR_E (latest save may trail by <6 epochs)"
+echo "donor checkpoint at ~epoch $DONOR_E"
 
 EVAL="--eval_model_dir $CKPT/synthetic_mul/eval_model/model \
  --consistency_model_dir $CKPT/synthetic_mul/consistency_eval_model/model \
